@@ -1,0 +1,228 @@
+"""Network flow solvers.
+
+The reference solves the Hazen-Williams network by scipy ``basinhopping``
+over BFGS on a magnified residual (fluidSimulation.py:1876-1878, 2268) —
+1e4-1e5 Python-loop objective evaluations per timestep.  Here the system is
+solved *exactly* by damped Newton on the pressure formulation:
+
+With boundary pressures prescribed at entry and terminal nodes, the unknown
+interior pressures ``p`` satisfy flow conservation
+
+    r_n(p) = sum_in Q_e - sum_out Q_e = 0,
+    Q_e    = sign(dP_e) * (A_e |dP_e|)^(1/k_e),   dP_e = p_head - p_tail
+
+which is a monotone nonlinear resistive network: the Jacobian is a weighted
+graph Laplacian (symmetric positive definite M-matrix), so damped Newton
+converges globally and the solution is unique.  For ``k = 1`` (Poiseuille)
+the first Newton step is exact — a single graph-Laplacian solve, matching
+the BASELINE "graph-Laplacian CG pressure solve" formulation.
+
+Two linear-solver backends:
+  * ``dense`` — scatter-assembled (M+1)x(M+1) Laplacian + LU; right for
+    networks up to a few thousand interior nodes (runs on the MXU).
+  * ``cg``    — matrix-free Jacobi-preconditioned conjugate gradient via
+    ``segment_sum`` SpMV; scales to very large graphs and shards cleanly.
+
+Everything is jit-compatible; ``jax.vmap`` over boundary pressures / radii
+gives batched longitudinal solves (GBMTest5 semantics) for free.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from .physics import edge_admittance, velocity_from_flow
+from .system import FlowSystem
+
+_DP_EPS = 1e-9  # Pa; regularizes dQ/d(dP) at dP = 0
+
+
+class FlowSolution(NamedTuple):
+    pressure: jax.Array       # f[N] full node pressures (Pa)
+    flow: jax.Array           # f[E] signed flow, positive head->tail (m^3/s)
+    velocity: jax.Array       # f[E] signed velocity (m/s)
+    residual_norm: jax.Array  # scalar, max |net nodal flow| (m^3/s)
+    iterations: jax.Array     # scalar int
+
+
+def _signed_flow_and_weight(dp, adm, k):
+    """Q(dp) and the Newton weight dQ/d(dp), both well-defined at dp=0."""
+    mag = jnp.maximum(jnp.abs(dp), _DP_EPS)
+    q_over_dp = adm ** (1.0 / k) * mag ** (1.0 / k - 1.0)  # secant conductance
+    q = q_over_dp * dp
+    w = q_over_dp / k                                       # tangent conductance
+    return q, w
+
+
+def _node_residual(p_unknown, system: FlowSystem, adm):
+    """Net outflow at unknown-pressure nodes (conservation residual)."""
+    p_full = system.full_pressure(p_unknown)
+    dp = p_full[system.head] - p_full[system.tail]
+    q, w = _signed_flow_and_weight(dp, adm, system.k)
+    M = system.num_unknown_pressures
+    slot = system.node_unknown_index  # M for fixed nodes
+    net = jnp.zeros(M + 1, q.dtype)
+    net = net.at[slot[system.tail]].add(q)      # inflow
+    net = net.at[slot[system.head]].add(-q)     # outflow
+    return net[:M], q, w
+
+
+def _dense_laplacian_solve(system: FlowSystem, w, rhs):
+    M = system.num_unknown_pressures
+    slot = system.node_unknown_index
+    hu = slot[system.head]
+    tu = slot[system.tail]
+    L = jnp.zeros((M + 1, M + 1), w.dtype)
+    L = L.at[hu, hu].add(w).at[tu, tu].add(w)
+    L = L.at[hu, tu].add(-w).at[tu, hu].add(-w)
+    A = L[:M, :M] + jnp.eye(M, dtype=w.dtype) * (1e-12 * jnp.max(w))
+    return jnp.linalg.solve(A, rhs)
+
+
+def _cg_laplacian_solve(system: FlowSystem, w, rhs, tol=None, maxiter=None):
+    """Matrix-free CG on the symmetrically diagonal-scaled Laplacian.
+
+    Explicit D^-1/2 L D^-1/2 scaling (rather than Jacobi preconditioning
+    alone) keeps the iteration well-behaved in f32: Hazen-Williams tangent
+    conductances span ~7 orders of magnitude across a deep arterial tree.
+    """
+    M = system.num_unknown_pressures
+    slot = system.node_unknown_index
+    hu = slot[system.head]
+    tu = slot[system.tail]
+    dtype = w.dtype
+
+    if tol is None:
+        tol = 1e-7 if dtype == jnp.float32 else 1e-12
+    if maxiter is None:
+        maxiter = min(8 * M + 64, 2048)
+
+    diag = jnp.zeros(M + 1, dtype).at[hu].add(w).at[tu].add(w)[:M]
+    dinv_sqrt = jax.lax.rsqrt(jnp.maximum(diag, 1e-38))
+    ds_pad = jnp.concatenate([dinv_sqrt, jnp.zeros((1,), dtype)])
+    ridge = 1e-7 if dtype == jnp.float32 else 1e-13
+
+    def matvec(y):
+        # x = D^-1/2 y; compute D^-1/2 L x
+        xp = ds_pad * jnp.concatenate([y, jnp.zeros((1,), dtype)])
+        dx = xp[hu] - xp[tu]
+        out = jnp.zeros(M + 1, dtype)
+        out = out.at[hu].add(w * dx).at[tu].add(-w * dx)
+        return ds_pad[:M] * out[:M] + ridge * y
+
+    b_scaled = dinv_sqrt * rhs
+    y, _ = jax.scipy.sparse.linalg.cg(matvec, b_scaled, tol=tol,
+                                      maxiter=maxiter)
+    return dinv_sqrt * y
+
+
+@functools.partial(jax.jit, static_argnames=("max_iter", "linear_solver"))
+def solve_pressure_newton(
+    system: FlowSystem,
+    p_init: jax.Array | None = None,
+    max_iter: int = 60,
+    tol: float = 1e-14,
+    linear_solver: str = "dense",
+) -> FlowSolution:
+    """Damped Newton solve for interior pressures, then flows/velocities.
+
+    ``tol`` is on the max nodal flow imbalance in m^3/s (1e-14 m^3/s =
+    1e-8 cm^3/s, far below the reference's accepted errors).
+    """
+    adm = edge_admittance(system.radius_m, system.length_m, system.c, system.k)
+    dtype = system.radius_m.dtype
+    M = system.num_unknown_pressures
+
+    # Shift pressures to drop-from-reference variables: edge dP values can
+    # be 1e6x smaller than absolute pressures, so subtracting a reference
+    # before the solve removes most of the f32 cancellation error.
+    fixed_vals_all = jnp.where(system.node_fixed, system.node_fixed_pressure,
+                               jnp.nan)
+    p_ref = 0.5 * (jnp.nanmax(fixed_vals_all) + jnp.nanmin(fixed_vals_all))
+    import dataclasses as _dc
+    system = _dc.replace(
+        system,
+        node_fixed_pressure=jnp.where(
+            system.node_fixed, system.node_fixed_pressure - p_ref, 0.0
+        ).astype(dtype))
+
+    if p_init is None:
+        # Depth-interpolated initial guess (reference init style,
+        # fluidSimulation.py:1852): pressures fall linearly with depth from
+        # the max to the min prescribed boundary pressure.  A good warm
+        # start keeps the f32 path well-conditioned.
+        fixed_vals = jnp.where(system.node_fixed, system.node_fixed_pressure,
+                               jnp.nan)
+        hi = jnp.nanmax(fixed_vals)
+        lo = jnp.nanmin(fixed_vals)
+        depth = system.node_depth.astype(dtype)
+        frac = depth / jnp.maximum(jnp.max(depth), 1.0)
+        p_by_depth = hi + (lo - hi) * frac
+        unknown_mask = ~system.node_fixed
+        order = jnp.argsort(jnp.where(unknown_mask, system.node_arg,
+                                      jnp.iinfo(jnp.int32).max))
+        p_init = p_by_depth[order[:M]]
+    else:
+        p_init = p_init - p_ref
+    p_init = p_init.astype(dtype)
+
+    solve_fn = (_dense_laplacian_solve if linear_solver == "dense"
+                else _cg_laplacian_solve)
+
+    def norm_r(p):
+        r, _, _ = _node_residual(p, system, adm)
+        return jnp.max(jnp.abs(r)) if M > 0 else jnp.zeros((), dtype)
+
+    def body(state):
+        p, _, it = state
+        r, _, w = _node_residual(p, system, adm)
+        # r = inflow - outflow, so dr/dp = -Laplacian(w); the Newton step
+        # J step = -r is therefore Laplacian(w) step = +r.
+        step = solve_fn(system, w, r)
+        rn0 = jnp.max(jnp.abs(r))
+
+        # Backtracking line search on the residual norm.
+        def ls_cond(ls):
+            alpha, done = ls
+            return jnp.logical_and(~done, alpha > 1e-6)
+
+        def ls_body(ls):
+            alpha, _ = ls
+            rn = norm_r(p + alpha * step)
+            good = rn < rn0
+            return jax.lax.cond(
+                good,
+                lambda: (alpha, True),
+                lambda: (alpha * 0.5, False),
+            )
+
+        alpha, _ = jax.lax.while_loop(ls_cond, ls_body,
+                                      (jnp.ones((), dtype), False))
+        p_new = p + alpha * step
+        return p_new, norm_r(p_new), it + 1
+
+    def cond(state):
+        _, rn, it = state
+        return jnp.logical_and(rn > tol, it < max_iter)
+
+    if M > 0:
+        p_unknown, rn, it = jax.lax.while_loop(
+            cond, body, (p_init, norm_r(p_init), jnp.zeros((), jnp.int32)))
+    else:
+        p_unknown, rn, it = p_init, jnp.zeros((), dtype), jnp.zeros((), jnp.int32)
+
+    p_full = system.full_pressure(p_unknown)
+    dp = p_full[system.head] - p_full[system.tail]
+    q, _ = _signed_flow_and_weight(dp, adm, system.k)
+    v = velocity_from_flow(q, system.radius_m)
+    return FlowSolution(pressure=p_full + p_ref, flow=q, velocity=v,
+                        residual_norm=rn, iterations=it)
+
+
+def solve_poiseuille(system: FlowSystem, linear_solver: str = "dense") -> FlowSolution:
+    """Exact linear solve for k=1 networks (one Newton step suffices)."""
+    return solve_pressure_newton(system, max_iter=3, linear_solver=linear_solver)

@@ -1,0 +1,10 @@
+from .network import FlowNetwork, make_network, orient_edges_by_depth
+from .tree import generate_tree, set_network_properties
+
+__all__ = [
+    "FlowNetwork",
+    "make_network",
+    "orient_edges_by_depth",
+    "generate_tree",
+    "set_network_properties",
+]

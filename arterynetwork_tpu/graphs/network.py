@@ -1,0 +1,189 @@
+"""Struct-of-arrays vascular network container.
+
+The reference keeps the reduced network in three parallel dict structures
+(``G``/``nodeInfoDict``/``edgeInfoDict``, fluidSimulation.py:30-75) with
+integer node/edge indices.  Here the same information lives in flat numpy
+arrays so the compute path can hand static-shaped tensors to XLA.
+
+Conventions (identical to the reference):
+  * edge ``e`` connects ``heads[e] -> tails[e]`` where the head is the
+    endpoint with the smaller depth (fluidSimulation.py:929-932);
+  * flow in an edge is positive head->tail;
+  * node 0 is the root unless stated otherwise; entry nodes carry
+    ``isEntryNode`` (fluidSimulation.py:90);
+  * ``radius``/``length`` are stored in voxels and converted to meters with
+    ``spacing`` at use sites (fluidSimulation.py:67, 323-343).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, Optional
+
+import numpy as np
+
+from ..constants import DEFAULT_SPACING
+
+
+@dataclasses.dataclass
+class FlowNetwork:
+    """An attributed vessel graph reduced to one edge per simple branch."""
+
+    heads: np.ndarray            # int32[E], lower-depth endpoint
+    tails: np.ndarray            # int32[E]
+    node_depth: np.ndarray       # int32[N]
+    radius: np.ndarray           # float64[E], mean radius in voxels
+    length: np.ndarray           # float64[E], path length in voxels
+    c: np.ndarray                # float64[E], Hazen-Williams c
+    k: np.ndarray                # float64[E], Hazen-Williams exponent
+    entry_nodes: np.ndarray      # int32[n_entry], nodes with fixed inlet pressure
+    spacing: float = DEFAULT_SPACING
+
+    # Simulation state (same role as simulationData in the reference).
+    node_pressure: Optional[np.ndarray] = None   # float64[N], Pa
+    edge_velocity: Optional[np.ndarray] = None   # float64[E], m/s
+    edge_flow: Optional[np.ndarray] = None       # float64[E], m^3/s
+
+    # Optional metadata preserved from upstream pipeline stages.
+    node_coord: Optional[np.ndarray] = None      # int32[N,3] voxel coordinates
+    edge_segment_index: Optional[np.ndarray] = None  # int32[E] into segmentList
+
+    # ------------------------------------------------------------------
+    # Derived quantities
+    # ------------------------------------------------------------------
+    @property
+    def num_nodes(self) -> int:
+        return int(self.node_depth.shape[0])
+
+    @property
+    def num_edges(self) -> int:
+        return int(self.heads.shape[0])
+
+    @property
+    def degree(self) -> np.ndarray:
+        deg = np.zeros(self.num_nodes, dtype=np.int32)
+        np.add.at(deg, self.heads, 1)
+        np.add.at(deg, self.tails, 1)
+        return deg
+
+    @property
+    def edge_depth(self) -> np.ndarray:
+        """Edge depth = min endpoint depth (fluidSimulation.py:260-262)."""
+        return np.minimum(self.node_depth[self.heads], self.node_depth[self.tails])
+
+    def is_entry_node(self) -> np.ndarray:
+        mask = np.zeros(self.num_nodes, dtype=bool)
+        mask[self.entry_nodes] = True
+        return mask
+
+    def terminal_nodes(self) -> np.ndarray:
+        """Degree-1 non-entry nodes: fixed (terminating) pressure."""
+        deg = self.degree
+        mask = (deg == 1) & ~self.is_entry_node()
+        return np.nonzero(mask)[0].astype(np.int32)
+
+    def unknown_nodes(self) -> np.ndarray:
+        """Nodes carrying a pressure unknown.
+
+        The reference assigns an ``argsIndex`` to every node that is not the
+        root and has degree != 1 (fluidSimulation.py:558-562); entry nodes
+        and degree-1 nodes have prescribed pressures.
+        """
+        deg = self.degree
+        mask = (deg != 1) & ~self.is_entry_node()
+        return np.nonzero(mask)[0].astype(np.int32)
+
+    def args_index(self) -> Dict[str, np.ndarray]:
+        """Unknown-vector layout matching the reference.
+
+        The unknown vector is ``[v_0 .. v_{E-1}, p_{i0} .. p_{iM-1}]`` where
+        edge velocities come first in edge-index order and unknown node
+        pressures follow in node-index order (fluidSimulation.py:549-562).
+
+        Returns a dict with:
+          * ``edge_args``: int32[E], position of each edge velocity (== arange)
+          * ``node_args``: int32[N], position of each node pressure or -1
+          * ``num_unknowns``: E + M
+        """
+        E = self.num_edges
+        edge_args = np.arange(E, dtype=np.int32)
+        node_args = np.full(self.num_nodes, -1, dtype=np.int32)
+        unknown = self.unknown_nodes()
+        node_args[unknown] = E + np.arange(unknown.shape[0], dtype=np.int32)
+        return {
+            "edge_args": edge_args,
+            "node_args": node_args,
+            "num_unknowns": E + unknown.shape[0],
+        }
+
+    # ------------------------------------------------------------------
+    # Physical-unit accessors
+    # ------------------------------------------------------------------
+    def radius_m(self) -> np.ndarray:
+        return self.radius * self.spacing
+
+    def length_m(self) -> np.ndarray:
+        return self.length * self.spacing
+
+    def replace(self, **kwargs) -> "FlowNetwork":
+        return dataclasses.replace(self, **kwargs)
+
+    # ------------------------------------------------------------------
+    # Validation
+    # ------------------------------------------------------------------
+    def validate(self) -> None:
+        E, N = self.num_edges, self.num_nodes
+        assert self.tails.shape == (E,)
+        assert self.radius.shape == (E,)
+        assert self.length.shape == (E,)
+        assert self.c.shape == (E,)
+        assert self.k.shape == (E,)
+        assert self.heads.min() >= 0 and self.tails.max() < N
+        hd = self.node_depth[self.heads]
+        td = self.node_depth[self.tails]
+        assert np.all(hd <= td), "edge heads must be the lower-depth endpoint"
+
+
+def orient_edges_by_depth(heads, tails, node_depth):
+    """Swap endpoints so the head is the lower-depth one (reference
+    convention, fluidSimulation.py:929-932)."""
+    heads = np.asarray(heads, dtype=np.int32)
+    tails = np.asarray(tails, dtype=np.int32)
+    swap = node_depth[heads] > node_depth[tails]
+    new_heads = np.where(swap, tails, heads)
+    new_tails = np.where(swap, heads, tails)
+    return new_heads, new_tails
+
+
+def make_network(
+    edges,
+    node_depth,
+    radius,
+    length,
+    c=None,
+    k=None,
+    entry_nodes=(0,),
+    spacing=DEFAULT_SPACING,
+) -> FlowNetwork:
+    """Build a FlowNetwork from an edge list, enforcing head/tail orientation."""
+    edges = np.asarray(edges, dtype=np.int32)
+    node_depth = np.asarray(node_depth, dtype=np.int32)
+    heads, tails = orient_edges_by_depth(edges[:, 0], edges[:, 1], node_depth)
+    E = heads.shape[0]
+    if c is None:
+        c = np.full(E, 1.0)
+    if k is None:
+        k = np.full(E, 1.852)
+    net = FlowNetwork(
+        heads=heads,
+        tails=tails,
+        node_depth=node_depth,
+        radius=np.asarray(radius, dtype=np.float64),
+        length=np.asarray(length, dtype=np.float64),
+        c=np.asarray(c, dtype=np.float64),
+        k=np.asarray(k, dtype=np.float64),
+        entry_nodes=np.asarray(entry_nodes, dtype=np.int32),
+        spacing=spacing,
+    )
+    net.validate()
+    return net

@@ -1,0 +1,139 @@
+"""Solver round-trip tests.
+
+Mirrors the reference's de-facto integration test: generate a network,
+construct an exact solution with the depth-sweep ground-truth generator,
+hand the solver only the boundary pressures, and require the recovered
+pressures/flows to match (computeNetworkTest / GBMTest3 semantics,
+fluidSimulation.py:2533-2709, SURVEY.md §4.2).
+"""
+
+import numpy as np
+import pytest
+
+from arterynetwork_tpu.constants import INLET_PRESSURE
+from arterynetwork_tpu.flow import (
+    build_system,
+    create_ground_truth,
+    pack_velocity_pressure,
+    residual_reference,
+    solve_poiseuille,
+    solve_pressure_newton,
+    validate_equations,
+)
+from arterynetwork_tpu.graphs import generate_tree, set_network_properties
+
+
+def _tree(max_depth=7, k=1.852, seed=0, allow_merge=False):
+    rng = np.random.default_rng(seed)
+    net = generate_tree(max_depth=max_depth, allow_merge=allow_merge, rng=rng)
+    net = set_network_properties(net, k_value=k, rng=rng)
+    return net
+
+
+def _boundary_from_ground_truth(net, gt):
+    """Boundary pressure vector: ground-truth values at fixed nodes."""
+    return gt.pressure
+
+
+@pytest.mark.parametrize("k", [1.0, 1.852])
+@pytest.mark.parametrize("option", [1, 2])
+def test_tree_round_trip(k, option):
+    net = _tree(max_depth=7, k=k, seed=42)
+    gt = create_ground_truth(net, option=option,
+                             rng=np.random.default_rng(7))
+    assert gt.success
+    system = build_system(net, boundary_pressure=gt.pressure)
+    sol = solve_pressure_newton(system)
+
+    # Pressures match to ~1e-9 relative (far below the 1e-6 parity target).
+    np.testing.assert_allclose(np.asarray(sol.pressure), gt.pressure,
+                               rtol=1e-8, atol=1e-8)
+    np.testing.assert_allclose(np.asarray(sol.flow), gt.flow,
+                               rtol=1e-7, atol=1e-14)
+    np.testing.assert_allclose(np.asarray(sol.velocity), gt.velocity,
+                               rtol=1e-7, atol=1e-10)
+
+
+def test_poiseuille_linear_solve_exact():
+    """k=1 networks solve in a single Newton step (graph Laplacian solve)."""
+    net = _tree(max_depth=7, k=1.0, seed=3)
+    gt = create_ground_truth(net, option=2, rng=np.random.default_rng(1))
+    assert gt.success
+    system = build_system(net, boundary_pressure=gt.pressure)
+    sol = solve_poiseuille(system)
+    np.testing.assert_allclose(np.asarray(sol.pressure), gt.pressure,
+                               rtol=1e-8, atol=1e-8)
+
+
+def test_reference_residual_zero_at_ground_truth():
+    net = _tree(max_depth=6, k=1.852, seed=5)
+    gt = create_ground_truth(net, option=2, rng=np.random.default_rng(2))
+    assert gt.success
+    system = build_system(net, boundary_pressure=gt.pressure)
+    r = np.asarray(residual_reference(gt.velocity_pressure, system))
+    # Residuals are magnified by 2e10 (flow) / 0.0377*500 (pressure); the
+    # ground truth should still zero them out.
+    assert np.abs(r).max() < 1e-3
+
+
+def test_validate_equations_at_solution():
+    net = _tree(max_depth=6, k=1.852, seed=11)
+    gt = create_ground_truth(net, option=1, rng=np.random.default_rng(4))
+    assert gt.success
+    system = build_system(net, boundary_pressure=gt.pressure)
+    sol = solve_pressure_newton(system)
+    x = pack_velocity_pressure(system, np.asarray(sol.pressure),
+                               np.abs(np.asarray(sol.velocity)))
+    report = validate_equations(x, system)
+    # Solver tolerance is 1e-14 m^3/s nodal imbalance = 1e-8 cm^3/s; the
+    # reference accepted errors ~1e-3 in these units.
+    assert report["pressure_summary"]["max"] < 1e-8   # mmHg
+    assert report["flow_summary"]["max"] < 2e-8       # cm^3/s
+    assert report["n_pressure_inversions"] == 0
+
+
+def test_merge_network_round_trip():
+    """Networks with CoW-like merge loops still solve exactly."""
+    success = False
+    for seed in range(20):
+        net = _tree(max_depth=6, k=1.852, seed=seed, allow_merge=True)
+        if net.num_nodes == net.num_edges + 1:
+            continue  # no merge happened; want a loopy one
+        gt = create_ground_truth(net, option=2,
+                                 rng=np.random.default_rng(seed))
+        if not gt.success:
+            continue
+        success = True
+        system = build_system(net, boundary_pressure=gt.pressure)
+        sol = solve_pressure_newton(system)
+        np.testing.assert_allclose(np.asarray(sol.pressure), gt.pressure,
+                                   rtol=0, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(sol.flow), gt.flow,
+                                   rtol=1e-7, atol=1e-16)
+        break
+    assert success, "no solvable merge network found in 20 seeds"
+
+
+def test_cg_backend_matches_dense():
+    net = _tree(max_depth=8, k=1.852, seed=9)
+    gt = create_ground_truth(net, option=2, rng=np.random.default_rng(3))
+    assert gt.success
+    system = build_system(net, boundary_pressure=gt.pressure)
+    dense = solve_pressure_newton(system, linear_solver="dense")
+    cg = solve_pressure_newton(system, linear_solver="cg")
+    np.testing.assert_allclose(np.asarray(cg.pressure),
+                               np.asarray(dense.pressure),
+                               rtol=0, atol=1e-5)
+
+
+def test_ground_truth_inlet_conditions():
+    net = _tree(max_depth=5, k=1.852, seed=1)
+    gt = create_ground_truth(net, option=2, rng=np.random.default_rng(0))
+    assert gt.success
+    assert gt.pressure[0] == INLET_PRESSURE
+    # Flow conservation: inlet flow equals the sum of terminal flows.
+    term = net.terminal_nodes()
+    term_edges = [e for e in range(net.num_edges)
+                  if net.tails[e] in set(term.tolist())]
+    np.testing.assert_allclose(gt.flow[term_edges].sum(),
+                               754.0 / 60 / 1e6, rtol=1e-12)
