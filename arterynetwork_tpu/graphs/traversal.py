@@ -1,0 +1,154 @@
+"""Graph traversal: compartment BFS and graph reduction.
+
+* ``partition_bfs`` — the reference's ``randomWalkBFS``
+  (myFunctions.py:36-98): BFS from chosen initial voxels bounded by
+  boundary voxels, annotating every reached voxel with ``depthVoxel``
+  (BFS wave index), ``depthLevel`` (increments only when passing a
+  bifurcation), and ``pathDistance`` (cumulative Euclidean step length),
+  and collecting the traversed segment indices.
+* ``reduce_graph`` — the reference's ``reduceGraph``
+  (graphRelated.py:621-660 / fluidSimulation.py:194-231): collapse each
+  simple branch to a single directed edge (direction = increasing
+  depthLevel) copying all node and edge attributes.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Sequence, Tuple
+
+import networkx as nx
+import numpy as np
+from numpy.linalg import norm
+
+
+def partition_bfs(G: nx.Graph, initial_voxels, boundary_voxels):
+    """Annotate G in place; returns (G, visited_voxels, segment_index_list)."""
+    initial = [tuple(v) for v in initial_voxels]
+    boundary = set(tuple(v) for v in boundary_voxels)
+
+    visited: List[Tuple] = list(initial)
+    depth_level = 0
+    for v in initial:
+        G.nodes[v]["depthLevel"] = depth_level
+        G.nodes[v]["pathDistance"] = 0.0
+
+    pool = list(initial)
+    segment_indices: List[int] = []
+    depth_voxel = 0
+    while pool:
+        nxt = []
+        for cur in pool:
+            G.nodes[cur]["depthVoxel"] = depth_voxel
+            new = [v for v in G.neighbors(cur)
+                   if v not in boundary and "depthVoxel" not in G.nodes[v]]
+            for v in new:
+                G.nodes[v]["depthLevel"] = (
+                    G.nodes[cur]["depthLevel"] if G.degree(v) == 2
+                    else G.nodes[cur]["depthLevel"] + 1)
+                step = norm(np.asarray(v, float) - np.asarray(cur, float))
+                G.nodes[v]["pathDistance"] = float(
+                    G.nodes[cur]["pathDistance"] + step)
+                if G.degree(v) >= 3 or G.degree(v) == 1:
+                    seg = G[cur][v].get("segmentIndex")
+                    if seg is not None:
+                        segment_indices.append(seg)
+            nxt += new
+            visited += new
+        pool = nxt
+        depth_voxel += 1
+
+    return G, visited, segment_indices
+
+
+def assign_segment_levels(G: nx.Graph, segments) -> None:
+    """Per-segment ``segmentLevel`` = min node depthLevel over the segment
+    (partitionCompartmentGUIDetail.py semantics); stored on each edge."""
+    for seg in segments:
+        levels = [G.nodes[v].get("depthLevel") for v in seg
+                  if "depthLevel" in G.nodes[v]]
+        if not levels:
+            continue
+        level = int(min(levels))
+        for a, b in zip(seg[:-1], seg[1:]):
+            if G.has_edge(a, b):
+                G[a][b]["segmentLevel"] = level
+
+
+def reduce_graph(G: nx.Graph, segment_list, segment_index_list) -> nx.DiGraph:
+    """Collapse each listed segment to one directed edge.
+
+    Direction: from the lower-depthLevel end to the higher (ties keep the
+    stored order, like the reference's > comparison)."""
+    DG = nx.DiGraph()
+    for segment_index in segment_index_list:
+        segment = [tuple(v) for v in segment_list[segment_index]]
+        head, tail, second = segment[0], segment[-1], segment[1]
+        head_level = G.nodes[head].get("depthLevel", 0)
+        tail_level = G.nodes[tail].get("depthLevel", 0)
+        if head_level > tail_level:
+            head, tail, second = tail, head, segment[-2]
+
+        DG.add_edge(head, tail)
+        for key, value in G[head][second].items():
+            DG[head][tail][key] = value
+        for key, value in G.nodes[head].items():
+            DG.nodes[head][key] = value
+        for key, value in G.nodes[tail].items():
+            DG.nodes[tail][key] = value
+    return DG
+
+
+def reduced_to_flow_network(DG: nx.DiGraph, root, spacing):
+    """Int-index a reduced graph into a FlowNetwork (the reference's
+    ``convertNetowrk``, fluidSimulation.py:233-309): nodes numbered in
+    increasing depthLevel order, edges in increasing depth order.
+
+    Requires node attr ``depthLevel`` and edge attrs ``meanRadius``,
+    ``pathLength`` (voxels).  Returns (FlowNetwork, node_index_of_coord).
+    """
+    from .network import FlowNetwork, orient_edges_by_depth
+
+    nodes = list(DG.nodes())
+    max_depth = max(DG.nodes[n]["depthLevel"] for n in nodes)
+    node_of: Dict = {}
+    depth_arr = []
+    idx = 0
+    for d in range(int(max_depth) + 1):
+        for n in nodes:
+            if DG.nodes[n]["depthLevel"] == d:
+                node_of[n] = idx
+                depth_arr.append(d)
+                idx += 1
+    N = idx
+
+    # edge depth = min endpoint depth; index edges by increasing depth
+    edges = list(DG.edges())
+    edge_depth = [min(DG.nodes[a]["depthLevel"], DG.nodes[b]["depthLevel"])
+                  for a, b in edges]
+    order = np.argsort(np.asarray(edge_depth), kind="stable")
+    heads, tails, radius, length, seg_idx = [], [], [], [], []
+    for e in order:
+        a, b = edges[e]
+        heads.append(node_of[a])
+        tails.append(node_of[b])
+        radius.append(DG[a][b].get("meanRadius", 1.0))
+        length.append(DG[a][b].get("pathLength",
+                                   DG[a][b].get("length", 1.0)))
+        seg_idx.append(DG[a][b].get("segmentIndex", -1))
+
+    node_depth = np.asarray(depth_arr, dtype=np.int32)
+    h, t = orient_edges_by_depth(np.asarray(heads, np.int32),
+                                 np.asarray(tails, np.int32), node_depth)
+    E = len(heads)
+    net = FlowNetwork(
+        heads=h, tails=t, node_depth=node_depth,
+        radius=np.asarray(radius, float),
+        length=np.asarray(length, float),
+        c=np.ones(E), k=np.full(E, 1.852),
+        entry_nodes=np.asarray([node_of[root]], np.int32),
+        spacing=spacing,
+        edge_segment_index=np.asarray(seg_idx, np.int32),
+        node_coord=np.asarray([list(n) for n in node_of], dtype=np.int32)
+        if all(isinstance(n, tuple) for n in node_of) else None,
+    )
+    return net, node_of

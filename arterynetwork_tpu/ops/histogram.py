@@ -1,0 +1,104 @@
+"""Masked intensity histograms.
+
+The region grower needs, per iteration, intensity histograms of the inner
+(segmented) and outer (active, unsegmented) regions.  Strategy by backend:
+
+* **TPU** — a scatter-add histogram lowers to a sort (~400 ms for a
+  512x512x170 volume, measured).  Instead the bin indices stream through a
+  chunked ``one_hot(bin)^T @ masks`` contraction: all K masks share one
+  pass over the volume and the accumulation runs on the MXU (~40 ms
+  measured for K=2 at 512x512x170; the device-side compaction
+  alternatives — jnp.nonzero + gather — are sort-bound and slower).
+* **CPU/GPU** — plain scatter-add, which is fast there and bit-exact.
+
+Counts are exact: one-hot entries and mask entries are 0/1 (exact in
+bfloat16) and accumulation happens in float32.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+_DEFAULT_CHUNK = 131072
+
+
+@functools.partial(jax.jit, static_argnames=("num_bins",))
+def _masked_histograms_scatter(bin_idx_flat, masks_flat, num_bins):
+    def one(mask):
+        return jnp.zeros((num_bins,), jnp.float32).at[bin_idx_flat].add(
+            mask.astype(jnp.float32))
+    return jax.vmap(one)(masks_flat)
+
+
+@functools.partial(jax.jit, static_argnames=("num_bins", "chunk"))
+def _masked_histograms_matmul(bin_idx_flat, masks_flat, num_bins,
+                              chunk=_DEFAULT_CHUNK):
+    K, N = masks_flat.shape
+    pad = (-N) % chunk
+    idx = jnp.pad(bin_idx_flat.astype(jnp.int32), (0, pad),
+                  constant_values=-1)  # -1 matches no bin
+    masks = jnp.pad(masks_flat, ((0, 0), (0, pad)))
+    n_chunks = idx.shape[0] // chunk
+    idx_c = idx.reshape(n_chunks, chunk)
+    m_c = masks.reshape(K, n_chunks, chunk).transpose(1, 0, 2)
+    iota = jnp.arange(num_bins, dtype=jnp.int32)
+
+    def step(acc, args):
+        ic, mc = args
+        onehot = (ic[:, None] == iota[None, :]).astype(jnp.bfloat16)
+        part = jax.lax.dot_general(
+            mc.astype(jnp.bfloat16), onehot,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        return acc + part, None
+
+    acc0 = jnp.zeros((K, num_bins), jnp.float32)
+    acc, _ = jax.lax.scan(step, acc0, (idx_c, m_c))
+    return acc
+
+
+def masked_histograms(bin_idx_flat, masks_flat, num_bins: int = 256):
+    """Histograms of ``bin_idx`` under K boolean masks -> f32[K, num_bins]."""
+    if jax.default_backend() == "tpu":
+        return _masked_histograms_matmul(bin_idx_flat, masks_flat, num_bins)
+    return _masked_histograms_scatter(bin_idx_flat, masks_flat, num_bins)
+
+
+@functools.partial(jax.jit, static_argnames=("chunk",))
+def _table_lookup_matmul(bin_idx_flat, table, chunk=_DEFAULT_CHUNK):
+    """table[bin_idx] for a full volume, without a gather.
+
+    Per-voxel gathers execute at ~8 us/element on this TPU backend
+    (measured: 371 s for 45M lookups), so the lookup is expressed as a
+    chunked ``one_hot(bin) @ table`` contraction instead.  Exact: each
+    one-hot row has a single 1, so the f32 dot returns table[bin] bit-for-bit.
+    """
+    N = bin_idx_flat.shape[0]
+    B = table.shape[0]
+    pad = (-N) % chunk
+    idx = jnp.pad(bin_idx_flat.astype(jnp.int32), (0, pad),
+                  constant_values=-1)
+    n_chunks = idx.shape[0] // chunk
+    idx_c = idx.reshape(n_chunks, chunk)
+    iota = jnp.arange(B, dtype=jnp.int32)
+
+    def step(_, ic):
+        onehot = (ic[:, None] == iota[None, :]).astype(jnp.float32)
+        return None, onehot @ table.astype(jnp.float32)
+
+    _, out = jax.lax.scan(step, None, idx_c)
+    return out.reshape(-1)[:N]
+
+
+def table_lookup(bin_idx, table):
+    """table[bin_idx] elementwise; gather on CPU, matmul on TPU."""
+    shape = bin_idx.shape
+    flat = bin_idx.reshape(-1)
+    if jax.default_backend() == "tpu":
+        out = _table_lookup_matmul(flat, table)
+    else:
+        out = table[flat]
+    return out.reshape(shape)

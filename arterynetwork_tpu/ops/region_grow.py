@@ -1,0 +1,203 @@
+"""Variational region growing as a full-grid TPU kernel.
+
+TPU-native reformulation of ``variationalRegionGrowing``
+(variationalRegionGrowing.py:10-282), the Parzen/Gaussian two-region
+competition segmenter.  The reference keeps explicit boundary *lists* and
+repairs per-voxel probability fields incrementally in Python loops — pure
+bookkeeping that exists because a CPU cannot afford full sweeps.  Here every
+iteration is a fused full-grid computation:
+
+1. **Region statistics by histogram.**  The per-voxel score
+   ``sum_q A*exp(-0.5*H*(I_q - I_p)^2)`` over a region depends only on the
+   *intensity* of p and the intensity histogram of the region.  Quantizing
+   intensities into B bins turns both region sums into one BxB Gaussian
+   kernel matvec: ``prob_of_bin = K @ hist`` — exact whenever the data sits
+   on the bin grid (integer/binary phantoms), and a B-bin approximation for
+   continuous vesselness data.  This replaces O(|boundary| * |region|)
+   Python work with one tiny matmul and two gathers.
+2. **Boundary masks by dilation.**  inner boundary = segmented voxels with
+   an unsegmented 26-neighbor; outer boundary = active unsegmented voxels
+   with a segmented 26-neighbor (reference update(), :124-155).
+3. **Flip rule.**  On boundary voxels, flip where
+   ``xor(segmented, innerProb/innerSize >= outerProb/outerSize)``
+   (reference :79-88, including the >= tie behavior).
+4. **Exclusion dynamics.**  State 4 (excluded) voxels join the outer
+   region (state 3) when the growing front reaches within two hops
+   (reference 4->3 conversions, :137, :167-180).  Parity with the
+   reference's incremental order is defined at the converged fixed point
+   (SURVEY.md "hard parts").
+
+Termination matches the reference (:91-104): no flips, segment size cap
+(checked *before* applying the iteration's flips), or the iteration cap.
+The 120 s wall-clock cap becomes an optional host-side timeout.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .histogram import masked_histograms, table_lookup
+from .stencil import dilate26
+
+# Gaussian normalization constant (variationalRegionGrowing.py:7).
+A_NORM = float((2.0 * np.pi) ** -0.5)
+
+DEFAULT_H = 2.25
+DEFAULT_MAX_SEGMENT_SIZE = 5000
+DEFAULT_ITER_MAX = 200
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class RegionGrowResult:
+    segmented_map: jax.Array   # bool[shape]
+    active_map: jax.Array      # bool[shape]; ~active == reference state 4
+    iterations: jax.Array      # i32 scalar: number of applied updates
+    segmented_count: jax.Array  # i32 scalar
+    stop_reason: jax.Array     # i32: 0=converged, 1=size cap, 2=iter cap
+
+
+def _quantize(data, num_bins):
+    vmin = jnp.min(data)
+    vmax = jnp.max(data)
+    span = jnp.maximum(vmax - vmin, 1e-30)
+    idx = jnp.clip(jnp.round((data - vmin) / span * (num_bins - 1)),
+                   0, num_bins - 1).astype(jnp.int32)
+    values = vmin + jnp.arange(num_bins, dtype=data.dtype) * span / (num_bins - 1)
+    return idx, values
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("num_bins", "iter_max", "max_segment_size"))
+def region_grow(
+    data,
+    seed_mask,
+    excluded_mask=None,
+    H: float = DEFAULT_H,
+    max_segment_size: int = DEFAULT_MAX_SEGMENT_SIZE,
+    iter_max: int = DEFAULT_ITER_MAX,
+    num_bins: int = 256,
+) -> RegionGrowResult:
+    """Grow a region from ``seed_mask`` over ``data``.
+
+    Parameters mirror the reference: ``H`` controls segmentation size
+    (larger H -> smaller segmentation), ``max_segment_size`` and
+    ``iter_max`` cap the growth (variationalRegionGrowing.py:10, 56).
+    ``excluded_mask`` marks reference state-4 voxels.
+    """
+    dtype = jnp.float32 if data.dtype not in (jnp.float64,) else data.dtype
+    data = data.astype(dtype)
+    seg0 = seed_mask.astype(jnp.bool_)
+    if excluded_mask is None:
+        active0 = jnp.ones_like(seg0)
+    else:
+        active0 = ~excluded_mask.astype(jnp.bool_)
+    # Initial update: the front activates excluded voxels it touches
+    # (reference :137 runs during the initial boundary build).
+    active0 = active0 | dilate26(seg0)
+
+    bin_idx, bin_values = _quantize(data, num_bins)
+    bin_idx_flat = bin_idx.reshape(-1)
+
+    # BxB Gaussian kernel between bin values.
+    diff = bin_values[:, None] - bin_values[None, :]
+    K = (A_NORM * jnp.exp(-0.5 * H * diff * diff)).astype(dtype)
+
+    def compute_flips(seg, active):
+        inner_bnd = seg & dilate26(~seg)
+        outer_bnd = (~seg) & active & dilate26(seg)
+        all_bnd = inner_bnd | outer_bnd
+
+        seg_flat = seg.reshape(-1)
+        outer_region_flat = ((~seg) & active).reshape(-1)
+        hists = masked_histograms(
+            bin_idx_flat, jnp.stack([seg_flat, outer_region_flat]), num_bins)
+        inner_hist = hists[0].astype(dtype)
+        outer_hist = hists[1].astype(dtype)
+        inner_size = jnp.maximum(jnp.sum(inner_hist), jnp.asarray(1.0, dtype))
+        outer_size = jnp.maximum(jnp.sum(outer_hist), jnp.asarray(1.0, dtype))
+
+        # diff(b) = innerProbNorm(b) - outerProbNorm(b); flip test is
+        # diff[bin(p)] >= 0 (reference >= tie behavior, :87)
+        diff = (K @ inner_hist) / inner_size - (K @ outer_hist) / outer_size
+        inner_ge_outer = table_lookup(bin_idx, diff) >= 0
+        flips = all_bnd & jnp.logical_xor(seg, inner_ge_outer)
+        return flips
+
+    def cond(state):
+        _, _, it, _, stop = state
+        return stop < 0
+
+    def body(state):
+        seg, active, it, count, _ = state
+        flips = compute_flips(seg, active)
+        n_flips = jnp.sum(flips, dtype=jnp.int32)
+
+        converged = n_flips == 0
+        size_capped = count >= max_segment_size
+        # Apply flips only if still running (reference returns the
+        # pre-update state when the size cap trips, :101-104).
+        apply = ~(converged | size_capped)
+        seg_new = jnp.where(apply, jnp.logical_xor(seg, flips), seg)
+        active_new = jnp.where(apply, active | dilate26(dilate26(flips)),
+                               active)
+        count_new = jnp.sum(seg_new, dtype=jnp.int32)
+        it_new = it + apply.astype(jnp.int32)
+
+        stop = jnp.where(converged, 0,
+                         jnp.where(size_capped, 1,
+                                   jnp.where(it_new >= iter_max, 2, -1)))
+        stop = stop.astype(jnp.int32)
+        return seg_new, active_new, it_new, count_new, stop
+
+    count0 = jnp.sum(seg0, dtype=jnp.int32)
+    state0 = (seg0, active0, jnp.zeros((), jnp.int32), count0,
+              jnp.full((), -1, jnp.int32))
+    seg, active, it, count, stop = jax.lax.while_loop(cond, body, state0)
+    return RegionGrowResult(segmented_map=seg, active_map=active,
+                            iterations=it, segmented_count=count,
+                            stop_reason=stop)
+
+
+# ----------------------------------------------------------------------
+# Reference-style API (valueMap in, valueMap out)
+# ----------------------------------------------------------------------
+def region_grow_value_map(data, value_map, H=DEFAULT_H,
+                          max_segment_size=DEFAULT_MAX_SEGMENT_SIZE,
+                          iter_max=DEFAULT_ITER_MAX, num_bins=256):
+    """Drop-in equivalent of ``variationalRegionGrowing(dataArray, valueMap)``.
+
+    ``value_map`` uses the reference encoding — 0: inside, 1: inner
+    boundary, 2: outer boundary, 3: outside, 4: excluded — and the function
+    returns ``(segmented_coords, segmented_map, value_map)`` like the
+    reference (variationalRegionGrowing.py:27-36).
+    """
+    value_map = np.asarray(value_map)
+    seed = (value_map == 0) | (value_map == 1)
+    excluded = value_map == 4
+    res = region_grow(jnp.asarray(data), jnp.asarray(seed),
+                      jnp.asarray(excluded), H=H,
+                      max_segment_size=max_segment_size,
+                      iter_max=iter_max, num_bins=num_bins)
+    seg = np.asarray(res.segmented_map)
+    active = np.asarray(res.active_map)
+    vm = reconstruct_value_map(seg, active)
+    coords = np.argwhere(seg)
+    return coords, seg.astype(np.int64), vm
+
+
+def reconstruct_value_map(seg, active):
+    """Rebuild the reference's 5-state valueMap from the two masks."""
+    seg_j = jnp.asarray(seg)
+    active_j = jnp.asarray(active)
+    inner_bnd = seg_j & dilate26(~seg_j)
+    outer_bnd = (~seg_j) & active_j & dilate26(seg_j)
+    vm = jnp.where(seg_j, jnp.where(inner_bnd, 1, 0),
+                   jnp.where(outer_bnd, 2, jnp.where(active_j, 3, 4)))
+    return np.asarray(vm).astype(np.int64)
