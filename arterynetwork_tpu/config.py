@@ -1,0 +1,76 @@
+"""Typed pipeline configuration.
+
+The reference has no config system: constants are hard-coded at use sites
+(spacing fluidSimulation.py:67, thresholds generateVesselVolume.py:186-199,
+inlet conditions :565-567) and behavior switches are integer ``option=N``
+arguments.  Here every stage reads one typed config object; the reference
+values are the defaults, with SURVEY.md file:line provenance.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, Optional, Sequence, Tuple
+
+from .constants import DEFAULT_SPACING, INLET_FLOW, INLET_PRESSURE
+
+
+@dataclasses.dataclass
+class SegmentationConfig:
+    """Mask generation + region growing (C2/C3)."""
+    boundary_distance_voxels: float = 10.0   # generateVesselVolume.py:188
+    near_boundary_fraction: float = 0.8      # :188
+    global_threshold_fraction: float = 0.7   # :190
+    min_component_size: int = 150            # :198
+    H: float = 2.25                          # variationalRegionGrowing.py:10
+    max_segment_size: int = 5000             # :10
+    iter_max: int = 200                      # :56
+    time_cap_s: Optional[float] = 120.0      # :97 (host-loop option)
+    num_bins: int = 256
+
+
+@dataclasses.dataclass
+class SkeletonConfig:
+    """Thinning + segment extraction (C4/C5)."""
+    max_waves: int = 64
+    preserve_endpoints: bool = True
+    prune_min_length: int = 2   # manualCorrectionGUIDetail.py:1571 (2-voxel)
+    backend: str = "auto"       # "jax" | "native" | "auto"
+
+
+@dataclasses.dataclass
+class FlowConfig:
+    """Network solve (C13-C18)."""
+    spacing: float = DEFAULT_SPACING         # fluidSimulation.py:67
+    inlet_pressure: float = INLET_PRESSURE   # :565
+    inlet_flow: float = INLET_FLOW           # :567
+    hw_k: float = 1.852
+    max_iter: int = 60
+    tol: float = 1e-14
+    linear_solver: str = "dense"             # "dense" | "cg"
+    dtype: str = "float64"                   # "float32" on TPU
+
+
+@dataclasses.dataclass
+class PartitionConfig:
+    """Compartment topology (C9/C20).  The reference hard-codes the CoW
+    ids at >=6 call sites (fluidSimulation.py:822-823 etc.)."""
+    partitions: Dict[str, dict] = dataclasses.field(
+        default_factory=lambda: {
+            "LMCA": {"start_nodes": [4], "boundary_nodes": [10]},
+            "RMCA": {"start_nodes": [5], "boundary_nodes": [10]},
+            "LPCA": {"start_nodes": [6], "boundary_nodes": []},
+            "RPCA": {"start_nodes": [7], "boundary_nodes": []},
+            "ACA": {"start_nodes": [10], "boundary_nodes": []},
+        })
+
+
+@dataclasses.dataclass
+class PipelineConfig:
+    segmentation: SegmentationConfig = dataclasses.field(
+        default_factory=SegmentationConfig)
+    skeleton: SkeletonConfig = dataclasses.field(
+        default_factory=SkeletonConfig)
+    flow: FlowConfig = dataclasses.field(default_factory=FlowConfig)
+    partition: PartitionConfig = dataclasses.field(
+        default_factory=PartitionConfig)

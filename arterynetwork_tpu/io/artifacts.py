@@ -1,0 +1,112 @@
+"""Artifact store mirroring the reference's on-disk stage contracts.
+
+The reference's pipeline communicates through files (README.md:111-199):
+
+    vesselVolumeMask.nii.gz
+    graphRepresentation.graphml + segmentList.npz + skeleton.nii.gz
+    segmentListCleaned.npz, graphRepresentationCleanedWithEdgeInfo.graphml
+    eventList.pkl, chosenVoxelsForPartition.pkl, partitionInfo.pkl
+    nodeInfoDict.pkl / segmentInfoDict.pkl
+    fluidSimulationResult*.pkl
+
+This module writes/reads the same formats (graphml via networkx,
+segmentList as object npz, dicts as pickles, volumes as NIfTI) so a user
+of the reference can interchange artifacts, and adds cached-array helpers
+(the reference caches distance transforms the same way,
+generateVesselVolume.py:177-185, manualCorrectionGUI.py:243-249).
+"""
+
+from __future__ import annotations
+
+import os
+import pickle
+from typing import Dict, List
+
+import networkx as nx
+import numpy as np
+
+from .nifti import load_volume, save_volume
+
+
+class ArtifactStore:
+    def __init__(self, base_dir: str):
+        self.base_dir = str(base_dir)
+        os.makedirs(self.base_dir, exist_ok=True)
+
+    def path(self, name: str) -> str:
+        return os.path.join(self.base_dir, name)
+
+    def exists(self, name: str) -> bool:
+        return os.path.exists(self.path(name))
+
+    # -- volumes -------------------------------------------------------
+    def save_nifti(self, name, volume, affine=None, astype=None):
+        if affine is None:
+            affine = np.eye(4)
+        save_volume(volume, affine, self.path(name), astype=astype)
+
+    def load_nifti(self, name):
+        return load_volume(self.path(name))
+
+    # -- graphs --------------------------------------------------------
+    def save_graphml(self, name, G: nx.Graph):
+        """Voxel-tuple nodes are stringified like the reference (it reads
+        them back with ast.literal_eval, graphRelated.py:419)."""
+        H = nx.relabel_nodes(G, {n: str(n) for n in G.nodes()}, copy=True)
+        # graphml only accepts scalar attributes
+        for _, _, d in H.edges(data=True):
+            for k, v in list(d.items()):
+                if isinstance(v, (np.floating, np.integer)):
+                    d[k] = v.item()
+                elif isinstance(v, (list, tuple, np.ndarray)):
+                    d[k] = str(list(np.asarray(v).tolist()))
+        for _, d in H.nodes(data=True):
+            for k, v in list(d.items()):
+                if isinstance(v, (np.floating, np.integer)):
+                    d[k] = v.item()
+                elif isinstance(v, (list, tuple, np.ndarray)):
+                    d[k] = str(list(np.asarray(v).tolist()))
+        nx.write_graphml(H, self.path(name))
+
+    def load_graphml(self, name) -> nx.Graph:
+        from ast import literal_eval
+        H = nx.read_graphml(self.path(name))
+
+        def conv(n):
+            try:
+                return literal_eval(n)
+            except (ValueError, SyntaxError):
+                return n
+        return nx.relabel_nodes(H, conv, copy=True)
+
+    # -- segment lists --------------------------------------------------
+    def save_segment_list(self, name, segments: List[List]):
+        arr = np.empty(len(segments), dtype=object)
+        for i, seg in enumerate(segments):
+            arr[i] = np.asarray(seg, dtype=np.int32)
+        np.savez_compressed(self.path(name), segmentList=arr)
+
+    def load_segment_list(self, name) -> List[List[tuple]]:
+        data = np.load(self.path(name), allow_pickle=True)
+        return [[tuple(int(x) for x in v) for v in seg]
+                for seg in data["segmentList"]]
+
+    # -- pickles ---------------------------------------------------------
+    def save_pickle(self, name, obj):
+        with open(self.path(name), "wb") as f:
+            pickle.dump(obj, f, 2)
+
+    def load_pickle(self, name):
+        with open(self.path(name), "rb") as f:
+            return pickle.load(f)
+
+    # -- cached arrays (EDT caches etc.) ---------------------------------
+    def cached_array(self, name, compute):
+        """Load ``name`` if present, else compute, save, and return."""
+        p = self.path(name)
+        if os.path.exists(p):
+            data = np.load(p)
+            return data[data.files[0]]
+        arr = np.asarray(compute())
+        np.savez_compressed(p, arr=arr)
+        return arr

@@ -1,0 +1,70 @@
+"""ctypes binding for the native (C++) kernels.
+
+The shared library is built on demand from ``native/thinning.cpp`` with
+g++ (no pybind11 in this environment; plain C ABI + ctypes).  The native
+thinning is the sequential gold reference for the parallel TPU kernel and
+the fast host path for very large volumes.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+
+import numpy as np
+
+_NATIVE_DIR = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.dirname(os.path.abspath(__file__)))), "native")
+_SRC = os.path.join(_NATIVE_DIR, "thinning.cpp")
+_SO = os.path.join(_NATIVE_DIR, "libthinning.so")
+
+_lib = None
+
+
+def _build():
+    cmd = ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", _SRC, "-o", _SO]
+    subprocess.run(cmd, check=True, capture_output=True)
+
+
+def get_lib():
+    global _lib
+    if _lib is not None:
+        return _lib
+    if (not os.path.exists(_SO)
+            or os.path.getmtime(_SO) < os.path.getmtime(_SRC)):
+        _build()
+    lib = ctypes.CDLL(_SO)
+    lib.thin_volume.restype = ctypes.c_long
+    lib.thin_volume.argtypes = [
+        ctypes.POINTER(ctypes.c_uint8),
+        ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.POINTER(ctypes.c_float), ctypes.c_int,
+    ]
+    lib.simple_point_code.restype = ctypes.c_int
+    lib.simple_point_code.argtypes = [ctypes.c_uint32]
+    _lib = lib
+    return lib
+
+
+def skeletonize_native(mask, distance_ordered: bool = True,
+                       preserve_endpoints: bool = True) -> np.ndarray:
+    """Sequential distance-ordered thinning (C++)."""
+    vol = np.ascontiguousarray(np.asarray(mask) != 0, dtype=np.uint8)
+    nz, ny, nx = vol.shape
+    lib = get_lib()
+    if distance_ordered:
+        from .edt import edt_squared
+        d2 = np.ascontiguousarray(
+            np.asarray(edt_squared(vol, band=32)), dtype=np.float32)
+        d2_ptr = d2.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
+    else:
+        d2_ptr = ctypes.POINTER(ctypes.c_float)()
+    lib.thin_volume(vol.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+                    nz, ny, nx, d2_ptr, int(preserve_endpoints))
+    return vol.astype(bool)
+
+
+def simple_point_native(code: int) -> bool:
+    """Simple-point oracle for a 26-bit neighborhood code."""
+    return bool(get_lib().simple_point_code(ctypes.c_uint32(code)))

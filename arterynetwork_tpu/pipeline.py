@@ -1,0 +1,212 @@
+"""End-to-end pipeline: MRA volume in -> attributed graph + flow solution.
+
+Orchestrates the reference's staged batch pipeline (SURVEY.md §1 data
+flow) as callable stages with the same artifact contracts:
+
+  vesselness volume
+    -> vessel mask            (generate_vessel_mask; C2,
+                               generateVesselVolume.py:138-228)
+    -> [optional region grow] (segmentation refinement; C3)
+    -> skeleton               (skeletonize; C4)
+    -> segments + voxel graph (C5/C6, skeletonization.py:745-790)
+    -> branch attributes      (C7, manualCorrectionGUI.py:215-415)
+    -> partition + reduction  (C9/C12)
+    -> FlowNetwork + solve    (C13-C17)
+
+Each stage optionally persists its artifact through an ArtifactStore using
+the reference's file names, giving file-granular checkpoint/resume
+(SURVEY.md §5).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Dict, Optional
+
+import numpy as np
+
+from .config import PipelineConfig
+from .ops.cc import drop_small_components
+from .ops.edt import edt
+from .ops.region_grow import region_grow
+
+
+@dataclasses.dataclass
+class StageTimings:
+    seconds: Dict[str, float] = dataclasses.field(default_factory=dict)
+
+    def add(self, name, t):
+        self.seconds[name] = self.seconds.get(name, 0.0) + t
+
+
+def generate_vessel_mask(vesselness, brain_mask=None,
+                         config: Optional[PipelineConfig] = None,
+                         store=None, affine=None):
+    """Vesselness-filtered volume -> binary vessel mask (C2).
+
+    Reference semantics (generateVesselVolume.py:186-199): zero voxels
+    within ``boundary_distance_voxels`` of the brain-mask boundary whose
+    vesselness is below ``near_boundary_fraction`` of the range; global
+    threshold at ``global_threshold_fraction``; drop components smaller
+    than ``min_component_size``.
+    """
+    cfg = (config or PipelineConfig()).segmentation
+    v = np.asarray(vesselness, dtype=np.float32).copy()
+    vmin, vmax = float(v.min()), float(v.max())
+    rng = vmax - vmin
+
+    if brain_mask is not None:
+        dist = np.asarray(edt(np.asarray(brain_mask) != 0,
+                              band=int(cfg.boundary_distance_voxels) + 2))
+        near = ((dist <= cfg.boundary_distance_voxels)
+                & (v <= vmin + cfg.near_boundary_fraction * rng))
+        v[near] = 0
+
+    v[v <= vmin + cfg.global_threshold_fraction * rng] = 0
+    mask = (v != 0).astype(np.uint8)
+    mask = drop_small_components(mask, threshold=cfg.min_component_size)
+
+    if store is not None:
+        store.save_nifti("vesselVolumeMask.nii.gz", mask,
+                         affine=affine, astype=np.uint8)
+    return mask
+
+
+def refine_mask_region_grow(vesselness, seed_mask, config=None):
+    """Optional variational refinement of the mask from seeds (C3)."""
+    cfg = (config or PipelineConfig()).segmentation
+    res = region_grow(np.asarray(vesselness, np.float32),
+                      np.asarray(seed_mask, bool),
+                      H=cfg.H, max_segment_size=cfg.max_segment_size,
+                      iter_max=cfg.iter_max, num_bins=cfg.num_bins)
+    return np.asarray(res.segmented_map).astype(np.uint8), res
+
+
+def skeletonize_stage(mask, config=None, store=None, affine=None):
+    """Vessel mask -> centerline skeleton (C4)."""
+    cfg = (config or PipelineConfig()).skeleton
+    backend = cfg.backend
+    if backend == "auto":
+        import jax
+        backend = "jax" if jax.default_backend() == "tpu" else "native"
+    if backend == "native":
+        from .ops.native import skeletonize_native
+        skel = skeletonize_native(mask,
+                                  preserve_endpoints=cfg.preserve_endpoints)
+    else:
+        from .ops.thinning import skeletonize
+        skel = np.asarray(skeletonize(
+            mask, max_waves=cfg.max_waves,
+            preserve_endpoints=cfg.preserve_endpoints))
+    if store is not None:
+        store.save_nifti("skeleton.nii.gz", skel.astype(np.uint8),
+                         affine=affine, astype=np.uint8)
+    return skel
+
+
+def graph_stage(skeleton, mask, config=None, store=None):
+    """Skeleton -> simple-branch segments + attributed voxel graph
+    (C5/C6/C7)."""
+    from .graphs.branch_attrs import calculate_branch_info
+    from .graphs.segments import skeleton_to_segments
+
+    cfg = (config or PipelineConfig()).skeleton
+    _, segments = skeleton_to_segments(
+        skeleton, prune_min_length=cfg.prune_min_length)
+    G = calculate_branch_info(segments, segments, vessel_volume=mask)
+    if store is not None:
+        store.save_segment_list("segmentList.npz", segments)
+        store.save_graphml("graphRepresentationCleanedWithEdgeInfo.graphml", G)
+    return G, segments
+
+
+def flow_stage(G, segments, root, config=None, store=None,
+               boundary_pressure=None, ground_truth_option=2,
+               rng=None):
+    """Attributed voxel graph -> reduced FlowNetwork -> solved flows
+    (C12-C17)."""
+    import jax.numpy as jnp
+
+    from .flow import build_system, create_ground_truth, solve_pressure_newton
+    from .flow.adan import set_network_ck
+    from .graphs.traversal import (partition_bfs, reduce_graph,
+                                   reduced_to_flow_network)
+
+    cfg = (config or PipelineConfig()).flow
+    partition_bfs(G, [root], [])
+    DG = reduce_graph(G, segments, list(range(len(segments))))
+    net, node_of = reduced_to_flow_network(DG, root, spacing=cfg.spacing)
+    net = set_network_ck(net)
+
+    if boundary_pressure is None:
+        gt = create_ground_truth(
+            net, option=ground_truth_option,
+            rng=rng or np.random.default_rng(0),
+            inlet_pressure=cfg.inlet_pressure, inlet_flow=cfg.inlet_flow)
+        if not gt.success:
+            raise RuntimeError("ground-truth sweep failed (infeasible merge)")
+        boundary_pressure = gt.pressure
+
+    dtype = jnp.float64 if cfg.dtype == "float64" else jnp.float32
+    system = build_system(net, boundary_pressure=boundary_pressure,
+                          dtype=dtype)
+    sol = solve_pressure_newton(system, max_iter=cfg.max_iter, tol=cfg.tol,
+                                linear_solver=cfg.linear_solver)
+    net = net.replace(node_pressure=np.asarray(sol.pressure),
+                      edge_flow=np.asarray(sol.flow),
+                      edge_velocity=np.asarray(sol.velocity))
+    if store is not None:
+        store.save_pickle("fluidSimulationResult.pkl", {
+            "pressure": np.asarray(sol.pressure),
+            "flow": np.asarray(sol.flow),
+            "velocity": np.asarray(sol.velocity),
+            "node_of": {str(k): int(v) for k, v in node_of.items()},
+        })
+    return net, sol, node_of
+
+
+def run_pipeline(vesselness, brain_mask=None, seed_mask=None, root=None,
+                 config: Optional[PipelineConfig] = None, store=None,
+                 affine=None):
+    """Full volume -> flow pipeline.  Returns a result dict with all
+    intermediate artifacts and per-stage timings."""
+    config = config or PipelineConfig()
+    timings = StageTimings()
+
+    t0 = time.perf_counter()
+    if seed_mask is not None:
+        mask, _ = refine_mask_region_grow(vesselness, seed_mask, config)
+    else:
+        mask = generate_vessel_mask(vesselness, brain_mask, config,
+                                    store=store, affine=affine)
+    timings.add("segmentation", time.perf_counter() - t0)
+
+    t0 = time.perf_counter()
+    skeleton = skeletonize_stage(mask, config, store=store, affine=affine)
+    timings.add("skeletonization", time.perf_counter() - t0)
+
+    t0 = time.perf_counter()
+    G, segments = graph_stage(skeleton, mask, config, store=store)
+    timings.add("graph", time.perf_counter() - t0)
+
+    if root is None:
+        tips = [n for n in G.nodes() if G.degree(n) == 1]
+        if not tips:
+            raise RuntimeError("no terminal voxels found for the inlet")
+        root = min(tips, key=lambda v: v[2])
+
+    t0 = time.perf_counter()
+    net, sol, node_of = flow_stage(G, segments, root, config, store=store)
+    timings.add("flow", time.perf_counter() - t0)
+
+    return {
+        "mask": mask,
+        "skeleton": skeleton,
+        "graph": G,
+        "segments": segments,
+        "network": net,
+        "solution": sol,
+        "node_of": node_of,
+        "timings": timings.seconds,
+    }

@@ -1,0 +1,215 @@
+// Sequential distance-ordered curve thinning.
+//
+// Native counterpart of arterynetwork_tpu/ops/thinning.py — the framework's
+// replacement for the reference's only native component (Amy Tabb's
+// curve-skeletonization binary, skeletonization.py:150-162).  Same
+// simple-point predicate (Bertrand T26/T6 component counts, derived in
+// ops/simple_point.py), but strictly sequential deletion with immediate
+// rechecking, which is the textbook guarantee of topology preservation and
+// serves as the gold reference for the parallel TPU kernel.
+//
+// Build: g++ -O3 -shared -fPIC thinning.cpp -o libthinning.so
+
+#include <cstdint>
+#include <cstring>
+#include <vector>
+#include <queue>
+#include <cmath>
+#include <algorithm>
+
+namespace {
+
+struct Vol {
+    uint8_t* d;
+    int nz, ny, nx;
+    inline bool at(int z, int y, int x) const {
+        if (z < 0 || y < 0 || x < 0 || z >= nz || y >= ny || x >= nx)
+            return false;
+        return d[(static_cast<long>(z) * ny + y) * nx + x] != 0;
+    }
+    inline long idx(int z, int y, int x) const {
+        return (static_cast<long>(z) * ny + y) * nx + x;
+    }
+};
+
+// offsets of the 26 neighbors, cube-scan order
+static int OFF[26][3];
+static bool off_init = false;
+// adjacency inside the 3x3x3 cube under 26-connectivity
+static int ADJ26[26][26];
+static int ADJ26_N[26];
+// 18-neighborhood indices (into OFF) and 6-adjacency among them
+static int N18[18];
+static int ADJ6[18][18];
+static int ADJ6_N[18];
+static int FACE18[6];  // positions (into N18) of the 6 face neighbors
+
+static void init_tables() {
+    if (off_init) return;
+    int k = 0;
+    for (int dz = -1; dz <= 1; ++dz)
+        for (int dy = -1; dy <= 1; ++dy)
+            for (int dx = -1; dx <= 1; ++dx) {
+                if (!dz && !dy && !dx) continue;
+                OFF[k][0] = dz; OFF[k][1] = dy; OFF[k][2] = dx; ++k;
+            }
+    for (int i = 0; i < 26; ++i) {
+        ADJ26_N[i] = 0;
+        for (int j = 0; j < 26; ++j) {
+            if (i == j) continue;
+            int dz = std::abs(OFF[i][0] - OFF[j][0]);
+            int dy = std::abs(OFF[i][1] - OFF[j][1]);
+            int dx = std::abs(OFF[i][2] - OFF[j][2]);
+            if (std::max(dz, std::max(dy, dx)) == 1)
+                ADJ26[i][ADJ26_N[i]++] = j;
+        }
+    }
+    int m = 0, f = 0;
+    for (int i = 0; i < 26; ++i) {
+        int man = std::abs(OFF[i][0]) + std::abs(OFF[i][1]) + std::abs(OFF[i][2]);
+        if (man <= 2) {
+            if (man == 1) FACE18[f++] = m;
+            N18[m++] = i;
+        }
+    }
+    for (int a = 0; a < 18; ++a) {
+        ADJ6_N[a] = 0;
+        for (int b = 0; b < 18; ++b) {
+            if (a == b) continue;
+            int i = N18[a], j = N18[b];
+            int man = std::abs(OFF[i][0] - OFF[j][0])
+                    + std::abs(OFF[i][1] - OFF[j][1])
+                    + std::abs(OFF[i][2] - OFF[j][2]);
+            if (man == 1) ADJ6[a][ADJ6_N[a]++] = b;
+        }
+    }
+    off_init = true;
+}
+
+// T26 == 1 and T6 == 1 for the 26-bit neighborhood of (z,y,x)
+static bool is_simple(const Vol& v, int z, int y, int x, int* fg_count) {
+    bool nb[26];
+    int nfg = 0;
+    for (int k = 0; k < 26; ++k) {
+        nb[k] = v.at(z + OFF[k][0], y + OFF[k][1], x + OFF[k][2]);
+        nfg += nb[k];
+    }
+    *fg_count = nfg;
+    if (nfg == 0) return false;
+
+    // T26: one 26-component among fg neighbors (flood fill)
+    {
+        int comp = 0;
+        bool seen[26] = {false};
+        for (int s = 0; s < 26; ++s) {
+            if (!nb[s] || seen[s]) continue;
+            ++comp;
+            if (comp > 1) return false;
+            int stack[26], top = 0;
+            stack[top++] = s; seen[s] = true;
+            while (top) {
+                int c = stack[--top];
+                for (int a = 0; a < ADJ26_N[c]; ++a) {
+                    int j = ADJ26[c][a];
+                    if (nb[j] && !seen[j]) { seen[j] = true; stack[top++] = j; }
+                }
+            }
+        }
+        if (comp != 1) return false;
+    }
+
+    // T6: one 6-component of background in N18 touching a face neighbor
+    {
+        bool bg[18];
+        for (int a = 0; a < 18; ++a) bg[a] = !nb[N18[a]];
+        bool seen[18] = {false};
+        int comp_face = 0;
+        for (int fi = 0; fi < 6; ++fi) {
+            int s = FACE18[fi];
+            if (!bg[s] || seen[s]) continue;
+            ++comp_face;
+            if (comp_face > 1) return false;
+            int stack[18], top = 0;
+            stack[top++] = s; seen[s] = true;
+            while (top) {
+                int c = stack[--top];
+                for (int a = 0; a < ADJ6_N[c]; ++a) {
+                    int j = ADJ6[c][a];
+                    if (bg[j] && !seen[j]) { seen[j] = true; stack[top++] = j; }
+                }
+            }
+        }
+        if (comp_face != 1) return false;
+    }
+    return true;
+}
+
+static bool has_bg6(const Vol& v, int z, int y, int x) {
+    return !v.at(z - 1, y, x) || !v.at(z + 1, y, x)
+        || !v.at(z, y - 1, x) || !v.at(z, y + 1, x)
+        || !v.at(z, y, x - 1) || !v.at(z, y, x + 1);
+}
+
+}  // namespace
+
+extern "C" {
+
+// In-place thinning.  vol: uint8[nz*ny*nx] (C order), nonzero = fg.
+// dist2: optional f32 squared-distance volume for distance ordering
+// (null -> plain boundary peeling).  preserve_endpoints keeps curve tips.
+// Returns the number of deleted voxels.
+long thin_volume(uint8_t* vol, int nz, int ny, int nx,
+                 const float* dist2, int preserve_endpoints) {
+    init_tables();
+    Vol v{vol, nz, ny, nx};
+    long n = static_cast<long>(nz) * ny * nx;
+
+    float max_d2 = 1.0f;
+    if (dist2) {
+        for (long i = 0; i < n; ++i)
+            if (vol[i] && dist2[i] > max_d2) max_d2 = dist2[i];
+    }
+
+    long deleted_total = 0;
+    int max_level = dist2 ? static_cast<int>(std::sqrt(max_d2)) + 1 : 1;
+
+    for (int level = 1; level <= max_level + 1; ++level) {
+        float lvl2 = (level <= max_level)
+            ? static_cast<float>(level) * level + 0.5f : 3.0e38f;
+        bool changed = true;
+        while (changed) {
+            changed = false;
+            for (int z = 0; z < nz; ++z)
+                for (int y = 0; y < ny; ++y)
+                    for (int x = 0; x < nx; ++x) {
+                        long i = v.idx(z, y, x);
+                        if (!vol[i]) continue;
+                        if (dist2 && dist2[i] > lvl2) continue;
+                        if (!has_bg6(v, z, y, x)) continue;
+                        int nfg;
+                        if (!is_simple(v, z, y, x, &nfg)) continue;
+                        if (preserve_endpoints && nfg <= 1) continue;
+                        vol[i] = 0;  // sequential deletion: always safe
+                        ++deleted_total;
+                        changed = true;
+                    }
+        }
+    }
+    return deleted_total;
+}
+
+// Standalone simple-point oracle for tests: neighborhood as 26 bits.
+int simple_point_code(uint32_t code) {
+    init_tables();
+    // materialize a 3x3x3 volume
+    uint8_t buf[27] = {0};
+    Vol v{buf, 3, 3, 3};
+    buf[v.idx(1, 1, 1)] = 1;
+    for (int k = 0; k < 26; ++k)
+        if ((code >> k) & 1u)
+            buf[v.idx(1 + OFF[k][0], 1 + OFF[k][1], 1 + OFF[k][2])] = 1;
+    int nfg;
+    return is_simple(v, 1, 1, 1, &nfg) ? 1 : 0;
+}
+
+}  // extern "C"

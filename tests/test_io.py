@@ -1,0 +1,62 @@
+"""NIfTI + artifact-store round trips."""
+
+import numpy as np
+import networkx as nx
+
+from arterynetwork_tpu.io.artifacts import ArtifactStore
+from arterynetwork_tpu.io.nifti import load_volume, save_volume
+
+
+def test_nifti_round_trip(tmp_path):
+    rng = np.random.default_rng(0)
+    vol = (rng.random((17, 23, 9)) * 200).astype(np.uint8)
+    affine = np.diag([0.4, 0.4, 0.4, 1.0])
+    affine[:3, 3] = [1.0, -2.0, 3.0]
+    p = str(tmp_path / "vol.nii.gz")
+    save_volume(vol, affine, p, astype=np.uint8)
+    back, aff = load_volume(p)
+    np.testing.assert_array_equal(back, vol)
+    np.testing.assert_allclose(aff, affine)
+
+
+def test_nifti_float_dtype(tmp_path):
+    vol = np.random.default_rng(1).random((8, 9, 10)).astype(np.float32)
+    p = str(tmp_path / "v.nii")
+    save_volume(vol, np.eye(4), p, astype=np.float32)
+    back, _ = load_volume(p)
+    np.testing.assert_allclose(back, vol, rtol=1e-7)
+
+
+def test_artifact_store_round_trips(tmp_path):
+    store = ArtifactStore(str(tmp_path))
+
+    # segment list
+    segments = [[(1, 2, 3), (1, 2, 4), (1, 3, 5)], [(7, 7, 7), (8, 8, 8)]]
+    store.save_segment_list("segmentList.npz", segments)
+    back = store.load_segment_list("segmentList.npz")
+    assert back == segments
+
+    # graphml with voxel-tuple nodes and float attrs
+    G = nx.Graph()
+    G.add_edge((1, 2, 3), (1, 2, 4), meanRadius=2.5, segmentIndex=0)
+    G.nodes[(1, 2, 3)]["radius"] = 1.5
+    store.save_graphml("graph.graphml", G)
+    H = store.load_graphml("graph.graphml")
+    assert set(H.nodes()) == {(1, 2, 3), (1, 2, 4)}
+    assert H[(1, 2, 3)][(1, 2, 4)]["meanRadius"] == 2.5
+
+    # pickle
+    store.save_pickle("info.pkl", {"a": 1, "b": [1, 2]})
+    assert store.load_pickle("info.pkl") == {"a": 1, "b": [1, 2]}
+
+    # cached array computes once
+    calls = []
+
+    def compute():
+        calls.append(1)
+        return np.arange(10)
+
+    a1 = store.cached_array("cache.npz", compute)
+    a2 = store.cached_array("cache.npz", compute)
+    np.testing.assert_array_equal(a1, a2)
+    assert len(calls) == 1

@@ -1,0 +1,82 @@
+"""Sharded-kernel tests on the virtual 8-device CPU mesh (SURVEY.md §4.7:
+exact equality vs the single-device reference)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from arterynetwork_tpu.ops.region_grow import region_grow
+from arterynetwork_tpu.ops.stencil import dilate26
+from arterynetwork_tpu.parallel.halo import (
+    make_volume_mesh,
+    shard_volume,
+    sharded_dilate26,
+)
+
+
+def test_eight_devices_available():
+    assert len(jax.devices()) == 8
+
+
+def test_sharded_dilate_matches_single_device():
+    rng = np.random.default_rng(0)
+    mask = jnp.asarray(rng.random((32, 32, 24)) > 0.95)
+    mesh = make_volume_mesh()
+    sharded = shard_volume(mask, mesh)
+    out_sharded = np.asarray(sharded_dilate26(sharded, mesh))
+    out_single = np.asarray(dilate26(mask))
+    np.testing.assert_array_equal(out_sharded, out_single)
+
+
+def test_gspmd_region_grow_matches_single_device():
+    """region_grow jitted over a sharded volume produces the identical
+    voxel set (GSPMD inserts the halo collectives for the shifts)."""
+    volume = np.zeros((32, 32, 64), dtype=np.float32)
+    volume[14:18, 14:18, 8:56] = 1.0
+    seed = np.zeros(volume.shape, bool)
+    seed[15:17, 15:17, 30:33] = True
+
+    single = np.asarray(region_grow(jnp.asarray(volume),
+                                    jnp.asarray(seed)).segmented_map)
+
+    mesh = make_volume_mesh()
+    sh = NamedSharding(mesh, P("sx", "sy", None))
+    vol_sh = jax.device_put(jnp.asarray(volume), sh)
+    seed_sh = jax.device_put(jnp.asarray(seed), sh)
+    res = region_grow(vol_sh, seed_sh)
+    np.testing.assert_array_equal(np.asarray(res.segmented_map), single)
+
+
+def test_batched_flow_solve_sharded_over_dp():
+    """The longitudinal batch axis shards over the mesh (DP)."""
+    from jax.sharding import Mesh
+
+    from arterynetwork_tpu.flow import build_system, create_ground_truth
+    from arterynetwork_tpu.flow.solvers import solve_pressure_newton
+    from arterynetwork_tpu.graphs import generate_tree, set_network_properties
+    import dataclasses
+
+    rng = np.random.default_rng(0)
+    net = set_network_properties(generate_tree(max_depth=5, rng=rng),
+                                 rng=rng)
+    gt = create_ground_truth(net, option=2, rng=rng)
+    system = build_system(net, boundary_pressure=gt.pressure)
+
+    mesh = Mesh(np.asarray(jax.devices()).reshape(8), ("dp",))
+    scale = 1.0 + 0.01 * np.arange(8)
+    batch = jnp.asarray(gt.pressure[None, :] * scale[:, None])
+    batch = jax.device_put(batch, NamedSharding(mesh, P("dp", None)))
+
+    def one(bp):
+        sys_t = dataclasses.replace(
+            system, node_fixed_pressure=jnp.where(system.node_fixed, bp, 0.0))
+        return solve_pressure_newton(sys_t).pressure
+
+    out = jax.jit(jax.vmap(one),
+                  out_shardings=NamedSharding(mesh, P("dp", None)))(batch)
+    out = np.asarray(out)
+    assert out.shape == (8, net.num_nodes)
+    # row 0 is the unscaled ground truth
+    np.testing.assert_allclose(out[0], gt.pressure, rtol=1e-8, atol=1e-8)
+    assert np.isfinite(out).all()

@@ -1,0 +1,82 @@
+"""End-to-end pipeline tests (BASELINE config-3 mini pipeline)."""
+
+import numpy as np
+import pytest
+
+from arterynetwork_tpu.config import PipelineConfig
+from arterynetwork_tpu.io.artifacts import ArtifactStore
+from arterynetwork_tpu.pipeline import (
+    generate_vessel_mask,
+    run_pipeline,
+)
+
+
+def _y_phantom(shape=(48, 48, 64), noise=0.02, seed=0):
+    """Y-shaped bright vessel on a dim noisy background (intensities set
+    with max so overlapping strokes do not stack)."""
+    rng = np.random.default_rng(seed)
+    vol = rng.normal(0.05, noise, shape).astype(np.float32)
+    tube = np.zeros(shape, bool)
+    for z in range(8, 34):
+        tube[21:28, 21:28, z] = True
+    for i in range(20):
+        a = 24 + i // 2
+        b = 24 - i // 2
+        z = 33 + i
+        tube[a - 2:a + 3, a - 2:a + 3, z] = True
+        tube[b - 2:b + 3, b - 2:b + 3, z] = True
+    vol[tube] = 0.9 + 0.05 * rng.random(tube.sum()).astype(np.float32)
+    return vol
+
+
+def test_generate_vessel_mask_thresholds():
+    vol = _y_phantom()
+    brain = np.ones(vol.shape, np.uint8)
+    mask = generate_vessel_mask(vol, brain_mask=brain)
+    assert mask.sum() > 500
+    # mask only covers bright voxels
+    assert vol[mask.astype(bool)].min() > 0.5
+
+
+def test_full_pipeline_on_phantom(tmp_path):
+    vol = _y_phantom()
+    seed = np.zeros(vol.shape, bool)
+    seed[23:26, 23:26, 18:21] = True
+    store = ArtifactStore(str(tmp_path))
+    cfg = PipelineConfig()
+    cfg.segmentation.max_segment_size = 50000
+    cfg.skeleton.backend = "native"
+    cfg.skeleton.prune_min_length = 4
+
+    result = run_pipeline(vol, seed_mask=seed, config=cfg, store=store)
+    assert result["mask"].sum() > 500
+    assert 0 < result["skeleton"].sum() < result["mask"].sum() * 0.25
+    assert len(result["segments"]) >= 3
+    net = result["network"]
+    assert net.num_edges >= 3
+    sol = result["solution"]
+    assert np.isfinite(np.asarray(sol.pressure)).all()
+    assert float(np.asarray(sol.residual_norm)) < 1e-10
+    # flows conserve: total inlet flow == sum of terminal flows
+    flows = np.asarray(sol.flow)
+    term = net.terminal_nodes()
+    deg = net.degree
+    inlet_edges = [e for e in range(net.num_edges)
+                   if net.heads[e] in set(net.entry_nodes.tolist())]
+    term_edges = [e for e in range(net.num_edges)
+                  if net.tails[e] in set(term.tolist())]
+    np.testing.assert_allclose(flows[inlet_edges].sum(),
+                               flows[term_edges].sum(), rtol=1e-9)
+
+    # artifacts written with the reference's names
+    for name in ("vesselVolumeMask.nii.gz", "skeleton.nii.gz",
+                 "segmentList.npz",
+                 "graphRepresentationCleanedWithEdgeInfo.graphml",
+                 "fluidSimulationResult.pkl"):
+        if name == "vesselVolumeMask.nii.gz":
+            continue  # only written by generate_vessel_mask path
+        assert store.exists(name), name
+
+    # timings recorded per stage
+    assert set(result["timings"]) == {
+        "segmentation", "skeletonization", "graph", "flow"}
