@@ -16,6 +16,17 @@ from .constants import DEFAULT_SPACING, INLET_FLOW, INLET_PRESSURE
 
 
 @dataclasses.dataclass
+class VesselnessConfig:
+    """Frangi filter (replaces the reference's external SlicerVMTK step,
+    README.md:37-65)."""
+    sigmas: Tuple[float, ...] = (1.0, 2.0, 3.0)
+    alpha: float = 0.5
+    beta: float = 0.5
+    gamma: Optional[float] = None
+    bright: bool = True
+
+
+@dataclasses.dataclass
 class SegmentationConfig:
     """Mask generation + region growing (C2/C3)."""
     boundary_distance_voxels: float = 10.0   # generateVesselVolume.py:188
@@ -67,6 +78,8 @@ class PartitionConfig:
 
 @dataclasses.dataclass
 class PipelineConfig:
+    vesselness: VesselnessConfig = dataclasses.field(
+        default_factory=VesselnessConfig)
     segmentation: SegmentationConfig = dataclasses.field(
         default_factory=SegmentationConfig)
     skeleton: SkeletonConfig = dataclasses.field(

@@ -1,0 +1,178 @@
+"""Experiment drivers (reference C21/C22, fluidSimulation.py:1622-3049).
+
+Programmatic equivalents of the reference's GBMTest* scripts, returning
+result dicts instead of printing/plotting.  Each driver composes the same
+building blocks the reference does: ground truth -> perturb -> solve ->
+validate.
+
+* ``compute_network_test``   — solver round trip on a synthetic tree with
+  perturbed terminating pressures (computeNetworkTest, :2533-2709);
+* ``solver_sanity_test``     — re-solve an unperturbed network and compare
+  to ground truth (GBMTest3 semantics, :1923-2056);
+* ``radius_perturbation_study``   — perturb radii, keep terminating
+  pressures, re-solve (GBMTest semantics, :1622);
+* ``pressure_perturbation_study`` — perturb terminating pressures,
+  re-solve (GBMTest2 semantics, :1795);
+* ``longitudinal_study``     — GBMTest5 (delegates to flow.longitudinal);
+* ``update_edge_radius`` / ``apply_flow_to_network`` — forward-update
+  utilities (C22, :2989-3049).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional, Sequence
+
+import numpy as np
+
+from ..graphs.network import FlowNetwork
+from .adan import ADANModel, set_network_ck
+from .ground_truth import create_ground_truth
+from .perturb import (perturb_radius_random, perturb_terminating_pressure)
+from .physics import dp_from_flow, velocity_from_flow
+from .residual import pack_velocity_pressure, validate_equations
+from .solvers import solve_pressure_newton
+from .system import build_system
+
+
+def _solve_and_validate(net, boundary_pressure, dtype=None, **solver_kwargs):
+    import jax.numpy as jnp
+
+    system = build_system(net, boundary_pressure=boundary_pressure,
+                          dtype=dtype or jnp.float64)
+    sol = solve_pressure_newton(system, **solver_kwargs)
+    x = pack_velocity_pressure(system, np.asarray(sol.pressure),
+                               np.abs(np.asarray(sol.velocity)))
+    report = validate_equations(x, system)
+    return system, sol, x, report
+
+
+def compute_network_test(net: FlowNetwork, tp_scale: float = 0.05,
+                         rng: Optional[np.random.Generator] = None,
+                         ground_truth_option: int = 1) -> Dict:
+    """Perturb terminating pressures by +-tp_scale and re-solve
+    (computeNetworkTest, fluidSimulation.py:2533-2709)."""
+    if rng is None:
+        rng = np.random.default_rng(0)
+    gt = create_ground_truth(net, option=ground_truth_option, rng=rng)
+    if not gt.success:
+        return {"success": False}
+    bp = gt.pressure.copy()
+    term = net.terminal_nodes()
+    bp[term] = bp[term] * (1 + tp_scale * (2 * rng.random(len(term)) - 1))
+
+    system, sol, x, report = _solve_and_validate(net, bp)
+    return {
+        "success": True,
+        "ground_truth": gt.velocity_pressure,
+        "solution": x,
+        "pressure": np.asarray(sol.pressure),
+        "flow": np.asarray(sol.flow),
+        "validation": report,
+        "residual_norm": float(np.asarray(sol.residual_norm)),
+    }
+
+
+def solver_sanity_test(net: FlowNetwork,
+                       rng: Optional[np.random.Generator] = None,
+                       ground_truth_option: int = 2) -> Dict:
+    """GBMTest3: solve with the *unperturbed* boundary pressures; the
+    solution must reproduce the ground truth."""
+    if rng is None:
+        rng = np.random.default_rng(0)
+    gt = create_ground_truth(net, option=ground_truth_option, rng=rng)
+    if not gt.success:
+        return {"success": False}
+    system, sol, x, report = _solve_and_validate(net, gt.pressure)
+    err_p = np.nanmax(np.abs(np.asarray(sol.pressure) - gt.pressure))
+    err_q = np.nanmax(np.abs(np.asarray(sol.flow) - gt.flow))
+    return {"success": True, "max_pressure_error_pa": float(err_p),
+            "max_flow_error_m3s": float(err_q), "validation": report}
+
+
+def radius_perturbation_study(net: FlowNetwork, num_edges: int = 5,
+                              reduce_percentage: float = 30.0,
+                              adan: Optional[ADANModel] = None,
+                              rng: Optional[np.random.Generator] = None
+                              ) -> Dict:
+    """GBMTest: shrink random radii (stenosis), keep terminating
+    pressures, re-solve, and report flow redistribution."""
+    if rng is None:
+        rng = np.random.default_rng(0)
+    gt = create_ground_truth(net, option=2, rng=rng)
+    if not gt.success:
+        return {"success": False}
+    perturbed = perturb_radius_random(net, num_edges, reduce_percentage,
+                                      rng=rng)
+    perturbed = set_network_ck(perturbed, adan)
+    system, sol, x, report = _solve_and_validate(perturbed, gt.pressure)
+    return {
+        "success": True,
+        "baseline_flow": gt.flow,
+        "perturbed_flow": np.asarray(sol.flow),
+        "flow_change": np.asarray(sol.flow) - gt.flow,
+        "validation": report,
+    }
+
+
+def pressure_perturbation_study(
+        net: FlowNetwork,
+        pressure_decrease_per_partition: Dict[str, float],
+        partitions: Dict[str, dict],
+        rng: Optional[np.random.Generator] = None) -> Dict:
+    """GBMTest2: scale terminating pressures per compartment, re-solve."""
+    if rng is None:
+        rng = np.random.default_rng(0)
+    gt = create_ground_truth(net, option=2, rng=rng)
+    if not gt.success:
+        return {"success": False}
+    bp = perturb_terminating_pressure(
+        net, gt.pressure,
+        pressure_decrease_per_partition=pressure_decrease_per_partition,
+        partitions=partitions)
+    system, sol, x, report = _solve_and_validate(net, bp)
+    return {
+        "success": True,
+        "baseline_flow": gt.flow,
+        "perturbed_flow": np.asarray(sol.flow),
+        "pressure": np.asarray(sol.pressure),
+        "validation": report,
+    }
+
+
+# ----------------------------------------------------------------------
+# Forward-update utilities (C22)
+# ----------------------------------------------------------------------
+def update_edge_radius(net: FlowNetwork, radius_list,
+                       adan: Optional[ADANModel] = None) -> FlowNetwork:
+    """Replace radii then re-derive c/k (updateEdgeRadius,
+    fluidSimulation.py:2989-3005)."""
+    net = net.replace(radius=np.asarray(radius_list, float))
+    return set_network_ck(net, adan)
+
+
+def apply_flow_to_network(net: FlowNetwork, edge_flow,
+                          inlet_pressure: Optional[float] = None
+                          ) -> FlowNetwork:
+    """Given per-edge flows, sweep edges by depth computing pressures with
+    the forward Hazen-Williams relation (applyFlowToNetwork,
+    fluidSimulation.py:3007-3049)."""
+    from ..constants import INLET_PRESSURE
+
+    edge_flow = np.asarray(edge_flow, float)
+    pressure = np.full(net.num_nodes, np.nan)
+    for entry in net.entry_nodes:
+        pressure[entry] = (INLET_PRESSURE if inlet_pressure is None
+                           else inlet_pressure)
+    radius_m = net.radius_m()
+    length_m = net.length_m()
+    order = np.argsort(net.edge_depth, kind="stable")
+    for e in order:
+        h, t = int(net.heads[e]), int(net.tails[e])
+        if np.isnan(pressure[h]):
+            continue
+        dp = dp_from_flow(edge_flow[e], radius_m[e], length_m[e],
+                          net.c[e], net.k[e])
+        pressure[t] = pressure[h] - dp
+    velocity = np.asarray(velocity_from_flow(edge_flow, radius_m))
+    return net.replace(node_pressure=pressure, edge_flow=edge_flow,
+                       edge_velocity=velocity)

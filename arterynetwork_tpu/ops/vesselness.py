@@ -1,0 +1,147 @@
+"""Multiscale Frangi vesselness filter as a TPU kernel.
+
+The reference performs vesselness filtering *outside* the pipeline in 3D
+Slicer's VMTK module (README.md:37-65; ~3-5 min and ~10 GB RAM for a
+512x512x170 volume on CPU, with advice to manually split larger volumes).
+This module brings the step into the framework as a fused XLA program:
+
+  1. gamma-normalized Gaussian-derivative Hessian at each scale
+     (separable 1D convolutions; sigma^2-scaled second derivatives);
+  2. closed-form eigenvalues of the symmetric 3x3 Hessian per voxel
+     (trigonometric method — no per-voxel LAPACK);
+  3. Frangi's tubularity measure for bright vessels
+     (Ra, Rb, S with the standard alpha/beta/c weights);
+  4. max over scales.
+
+Everything is shift/conv/elementwise, so it shards over a volume mesh the
+same way the other voxel kernels do.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _gaussian_kernel(sigma: float, order: int, radius: int | None = None):
+    if radius is None:
+        radius = max(int(np.ceil(3.0 * sigma)), 1)
+    x = np.arange(-radius, radius + 1, dtype=np.float64)
+    g = np.exp(-0.5 * (x / sigma) ** 2)
+    g /= g.sum()
+    if order == 0:
+        k = g
+    elif order == 1:
+        k = -x / sigma ** 2 * g
+    elif order == 2:
+        k = (x ** 2 - sigma ** 2) / sigma ** 4 * g
+    else:
+        raise ValueError(order)
+    return jnp.asarray(k, dtype=jnp.float32)
+
+
+def _conv_axis(vol, kernel, axis):
+    """Separable 1D convolution along ``axis`` with zero padding.
+
+    Implemented as kernel-length shifted adds: measured faster on this
+    TPU than lax.conv_general_dilated with a single channel (TPU convs
+    want wide feature dims; C=1 lowers pathologically)."""
+    r = kernel.shape[0] // 2
+    pad = [(0, 0)] * vol.ndim
+    pad[axis] = (r, r)
+    vp = jnp.pad(vol, pad)
+    n = vol.shape[axis]
+    out = jnp.zeros_like(vol)
+    for i in range(kernel.shape[0]):
+        out = out + kernel[i] * jax.lax.slice_in_dim(vp, i, i + n, axis=axis)
+    return out
+
+
+def hessian_at_scale(vol, sigma: float):
+    """gamma=1 normalized Hessian components (xx, yy, zz, xy, xz, yz)."""
+    g0 = _gaussian_kernel(sigma, 0)
+    g1 = _gaussian_kernel(sigma, 1)
+    g2 = _gaussian_kernel(sigma, 2)
+    s2 = jnp.float32(sigma * sigma)
+
+    def sep(orders):
+        out = vol
+        for axis, order in enumerate(orders):
+            k = (g0, g1, g2)[order]
+            out = _conv_axis(out, k, axis)
+        return out * s2
+
+    hxx = sep((2, 0, 0))
+    hyy = sep((0, 2, 0))
+    hzz = sep((0, 0, 2))
+    hxy = sep((1, 1, 0))
+    hxz = sep((1, 0, 1))
+    hyz = sep((0, 1, 1))
+    return hxx, hyy, hzz, hxy, hxz, hyz
+
+
+def symmetric_eigvals_3x3(a11, a22, a33, a12, a13, a23):
+    """Eigenvalues of symmetric 3x3 matrices, ascending, elementwise
+    (trigonometric closed form; numerically safe for near-degenerate
+    spectra)."""
+    p1 = a12 * a12 + a13 * a13 + a23 * a23
+    q = (a11 + a22 + a33) / 3.0
+    b11, b22, b33 = a11 - q, a22 - q, a33 - q
+    p2 = b11 * b11 + b22 * b22 + b33 * b33 + 2.0 * p1
+    p = jnp.sqrt(jnp.maximum(p2 / 6.0, 1e-30))
+
+    inv_p = 1.0 / p
+    c11, c22, c33 = b11 * inv_p, b22 * inv_p, b33 * inv_p
+    c12, c13, c23 = a12 * inv_p, a13 * inv_p, a23 * inv_p
+    # det(B/p) / 2
+    detb = (c11 * (c22 * c33 - c23 * c23)
+            - c12 * (c12 * c33 - c23 * c13)
+            + c13 * (c12 * c23 - c22 * c13))
+    r = jnp.clip(detb / 2.0, -1.0, 1.0)
+    phi = jnp.arccos(r) / 3.0
+
+    e1 = q + 2.0 * p * jnp.cos(phi)                       # largest
+    e3 = q + 2.0 * p * jnp.cos(phi + 2.0 * jnp.pi / 3.0)  # smallest
+    e2 = 3.0 * q - e1 - e3
+    # degenerate (p ~ 0): all eigenvalues = q
+    tiny = p2 < 1e-24
+    e1 = jnp.where(tiny, q, e1)
+    e2 = jnp.where(tiny, q, e2)
+    e3 = jnp.where(tiny, q, e3)
+    return e3, e2, e1  # ascending
+
+
+@functools.partial(jax.jit, static_argnames=("sigmas", "alpha", "beta",
+                                             "gamma", "bright"))
+def frangi_vesselness(volume, sigmas=(1.0, 2.0, 3.0), alpha=0.5, beta=0.5,
+                      gamma=None, bright=True):
+    """Multiscale Frangi tubularity in [0, 1]."""
+    vol = jnp.asarray(volume, jnp.float32)
+    best = jnp.zeros_like(vol)
+    for sigma in sigmas:
+        hxx, hyy, hzz, hxy, hxz, hyz = hessian_at_scale(vol, float(sigma))
+        l1a, l2a, l3a = symmetric_eigvals_3x3(hxx, hyy, hzz, hxy, hxz, hyz)
+        # sort by |lambda|: lam1 smallest magnitude
+        lams = jnp.stack([l1a, l2a, l3a])
+        order = jnp.argsort(jnp.abs(lams), axis=0)
+        lam_sorted = jnp.take_along_axis(lams, order, axis=0)
+        lam1, lam2, lam3 = lam_sorted[0], lam_sorted[1], lam_sorted[2]
+
+        eps = 1e-10
+        ra = jnp.abs(lam2) / (jnp.abs(lam3) + eps)
+        rb = jnp.abs(lam1) / (jnp.sqrt(jnp.abs(lam2 * lam3)) + eps)
+        s = jnp.sqrt(lam1 ** 2 + lam2 ** 2 + lam3 ** 2)
+        g = gamma if gamma is not None else 0.5 * jnp.max(s)
+
+        v = ((1.0 - jnp.exp(-(ra ** 2) / (2 * alpha ** 2)))
+             * jnp.exp(-(rb ** 2) / (2 * beta ** 2))
+             * (1.0 - jnp.exp(-(s ** 2) / (2 * g ** 2 + eps))))
+        if bright:
+            v = jnp.where((lam2 < 0) & (lam3 < 0), v, 0.0)
+        else:
+            v = jnp.where((lam2 > 0) & (lam3 > 0), v, 0.0)
+        best = jnp.maximum(best, v)
+    return best

@@ -40,6 +40,22 @@ class StageTimings:
         self.seconds[name] = self.seconds.get(name, 0.0) + t
 
 
+def vesselness_stage(raw_volume, config: Optional[PipelineConfig] = None,
+                     store=None, affine=None):
+    """Raw MRA volume -> Frangi vesselness (on-device; replaces the
+    reference's external SlicerVMTK preprocessing, README.md:37-65)."""
+    from .ops.vesselness import frangi_vesselness
+
+    cfg = (config or PipelineConfig()).vesselness
+    v = np.asarray(frangi_vesselness(
+        np.asarray(raw_volume, np.float32), sigmas=tuple(cfg.sigmas),
+        alpha=cfg.alpha, beta=cfg.beta, gamma=cfg.gamma, bright=cfg.bright))
+    if store is not None:
+        store.save_nifti("vesselnessFiltered.nii.gz", v, affine=affine,
+                         astype=np.float32)
+    return v
+
+
 def generate_vessel_mask(vesselness, brain_mask=None,
                          config: Optional[PipelineConfig] = None,
                          store=None, affine=None):
@@ -135,7 +151,13 @@ def flow_stage(G, segments, root, config=None, store=None,
 
     cfg = (config or PipelineConfig()).flow
     partition_bfs(G, [root], [])
-    DG = reduce_graph(G, segments, list(range(len(segments))))
+    # solve the connected component containing the root: drop segments the
+    # BFS never reached (the reference also works per component,
+    # graphRelated.py:93-95)
+    reached = [i for i, seg in enumerate(segments)
+               if all("depthLevel" in G.nodes[tuple(v)] for v in
+                      (seg[0], seg[-1]))]
+    DG = reduce_graph(G, segments, reached)
     net, node_of = reduced_to_flow_network(DG, root, spacing=cfg.spacing)
     net = set_network_ck(net)
 
@@ -166,13 +188,24 @@ def flow_stage(G, segments, root, config=None, store=None,
     return net, sol, node_of
 
 
-def run_pipeline(vesselness, brain_mask=None, seed_mask=None, root=None,
-                 config: Optional[PipelineConfig] = None, store=None,
-                 affine=None):
+def run_pipeline(vesselness=None, brain_mask=None, seed_mask=None,
+                 root=None, config: Optional[PipelineConfig] = None,
+                 store=None, affine=None, raw_volume=None):
     """Full volume -> flow pipeline.  Returns a result dict with all
-    intermediate artifacts and per-stage timings."""
+    intermediate artifacts and per-stage timings.
+
+    Entry points: a raw MRA volume (``raw_volume``; vesselness computed
+    on-device) or a pre-filtered vesselness volume (``vesselness``)."""
     config = config or PipelineConfig()
     timings = StageTimings()
+
+    if vesselness is None:
+        if raw_volume is None:
+            raise ValueError("provide raw_volume or vesselness")
+        t0 = time.perf_counter()
+        vesselness = vesselness_stage(raw_volume, config, store=store,
+                                      affine=affine)
+        timings.add("vesselness", time.perf_counter() - t0)
 
     t0 = time.perf_counter()
     if seed_mask is not None:

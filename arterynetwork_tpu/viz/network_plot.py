@@ -1,0 +1,181 @@
+"""Network and result plots (reference C23).
+
+Graphviz-free equivalents of ``plotNetwork`` (fluidSimulation.py:2807-2876)
+and the result dashboards (:4034-4473): tree layout by depth, node/edge
+value colormaps, terminating-pressure distributions, per-compartment flow,
+root pressures over time, terminating pressure vs path length.
+All figures are returned (and optionally saved); matplotlib's Agg backend
+keeps everything headless.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional, Sequence
+
+import matplotlib
+
+matplotlib.use("Agg")
+import matplotlib.pyplot as plt  # noqa: E402
+import numpy as np  # noqa: E402
+
+from ..constants import PASCAL_PER_MMHG  # noqa: E402
+from ..graphs.network import FlowNetwork  # noqa: E402
+
+
+def _tree_layout(net: FlowNetwork):
+    """Depth-layered layout: y = -depth, x = in-order position of the
+    subtree (a dot-like hierarchical layout without graphviz)."""
+    children = [[] for _ in range(net.num_nodes)]
+    for e in range(net.num_edges):
+        children[int(net.heads[e])].append(int(net.tails[e]))
+    xs = np.zeros(net.num_nodes)
+    counter = [0.0]
+    seen = set()
+
+    def place(n):
+        if n in seen:
+            return xs[n]
+        seen.add(n)
+        if not children[n]:
+            xs[n] = counter[0]
+            counter[0] += 1.0
+        else:
+            xs[n] = np.mean([place(c) for c in children[n]])
+        return xs[n]
+
+    import sys
+    old = sys.getrecursionlimit()
+    sys.setrecursionlimit(max(10000, net.num_nodes * 2))
+    try:
+        for root in net.entry_nodes:
+            place(int(root))
+        for n in range(net.num_nodes):
+            place(n)
+    finally:
+        sys.setrecursionlimit(old)
+    ys = -net.node_depth.astype(float)
+    return xs, ys
+
+
+def plot_network(net: FlowNetwork, node_values=None, edge_values=None,
+                 node_labels=None, edge_labels=None, title=None,
+                 node_colorbar_label=None, edge_colorbar_label=None,
+                 path=None, figsize=(15, 8)):
+    """Hierarchical network plot with value colormaps
+    (plotNetwork parity, fluidSimulation.py:2807-2876)."""
+    xs, ys = _tree_layout(net)
+    fig, ax = plt.subplots(figsize=figsize)
+
+    if edge_values is not None:
+        ev = np.asarray(edge_values, dtype=float)
+        enorm = plt.Normalize(ev.min(), ev.max() if ev.max() > ev.min()
+                              else ev.min() + 1)
+        ecmap = plt.get_cmap("jet")
+    for e in range(net.num_edges):
+        h, t = int(net.heads[e]), int(net.tails[e])
+        color = (ecmap(enorm(ev[e])) if edge_values is not None else "0.6")
+        ax.plot([xs[h], xs[t]], [ys[h], ys[t]], "-", color=color, lw=1.5,
+                zorder=1)
+        if edge_labels is not None:
+            ax.annotate(str(edge_labels[e]),
+                        ((xs[h] + xs[t]) / 2, (ys[h] + ys[t]) / 2),
+                        fontsize=6, ha="center")
+
+    if node_values is not None:
+        nv = np.asarray(node_values, dtype=float)
+        sc = ax.scatter(xs, ys, c=nv, cmap="jet", s=30, zorder=2)
+        cb = fig.colorbar(sc, ax=ax)
+        if node_colorbar_label:
+            cb.set_label(node_colorbar_label)
+    else:
+        ax.scatter(xs, ys, c="k", s=15, zorder=2)
+    if node_labels is not None:
+        for n in range(net.num_nodes):
+            ax.annotate(str(node_labels[n]), (xs[n], ys[n]), fontsize=6)
+
+    ax.set_title(title or "")
+    ax.set_axis_off()
+    if path:
+        fig.savefig(path, dpi=110, bbox_inches="tight")
+    return fig
+
+
+def plot_terminating_pressure_distribution(net, node_pressure, partitions,
+                                           path=None):
+    """Per-compartment terminating pressure histograms
+    (fluidSimulation.py:4034-4251)."""
+    from ..flow.boundary import terminating_nodes_of_partition
+
+    fig, axes = plt.subplots(1, max(len(partitions), 1),
+                             figsize=(3 * len(partitions), 3))
+    if len(partitions) == 1:
+        axes = [axes]
+    for ax, (name, part) in zip(np.atleast_1d(axes), partitions.items()):
+        nodes = terminating_nodes_of_partition(net, part)
+        vals = [node_pressure[n] / PASCAL_PER_MMHG for n in nodes]
+        if vals:
+            ax.hist(vals, bins=10)
+        ax.set_title(name)
+        ax.set_xlabel("terminating pressure (mmHg)")
+    fig.tight_layout()
+    if path:
+        fig.savefig(path, dpi=110)
+    return fig
+
+
+def plot_flow_per_compartment(net, edge_flow, partitions, path=None):
+    """Total flow entering each compartment (fluidSimulation.py:4252-4304)."""
+    from ..flow.boundary import bfs_partition
+
+    names, flows = [], []
+    for name, part in partitions.items():
+        res = bfs_partition(net, part["start_nodes"], part["boundary_nodes"])
+        inlet_edges = [e for e in range(net.num_edges)
+                       if int(net.tails[e]) in part["start_nodes"]]
+        total = float(np.sum([edge_flow[e] for e in inlet_edges])) * 1e6
+        names.append(name)
+        flows.append(total)
+    fig, ax = plt.subplots(figsize=(6, 4))
+    ax.bar(names, flows)
+    ax.set_ylabel("flow (cm^3/s)")
+    if path:
+        fig.savefig(path, dpi=110)
+    return fig
+
+
+def plot_root_pressure_over_time(timestep_pressures, root_nodes,
+                                 labels=None, path=None):
+    """Root pressures across longitudinal timesteps
+    (fluidSimulation.py:4305-4337)."""
+    p = np.asarray(timestep_pressures)  # [T, N]
+    fig, ax = plt.subplots(figsize=(6, 4))
+    for i, n in enumerate(root_nodes):
+        ax.plot(p[:, n] / PASCAL_PER_MMHG, "o-",
+                label=(labels[i] if labels else f"node {n}"))
+    ax.set_xlabel("timestep")
+    ax.set_ylabel("pressure (mmHg)")
+    ax.legend()
+    if path:
+        fig.savefig(path, dpi=110)
+    return fig
+
+
+def plot_tp_vs_path_length(net, node_pressure, partitions, path=None):
+    """Terminating pressure vs path length scatter per compartment
+    (fluidSimulation.py:4338-4400 / showTerminatingPressureAndPathLength)."""
+    from ..flow.boundary import (path_length_to_node,
+                                 terminating_nodes_of_partition)
+
+    fig, ax = plt.subplots(figsize=(6, 4))
+    for name, part in partitions.items():
+        nodes = terminating_nodes_of_partition(net, part)
+        pl = [path_length_to_node(net, part["start_nodes"][0], n) * 1000
+              for n in nodes]
+        pr = [node_pressure[n] / PASCAL_PER_MMHG for n in nodes]
+        ax.scatter(pl, pr, label=name, s=12)
+    ax.set_xlabel("path length (mm)")
+    ax.set_ylabel("terminating pressure (mmHg)")
+    ax.legend(prop={"size": 6})
+    if path:
+        fig.savefig(path, dpi=110)
+    return fig

@@ -272,8 +272,37 @@ def bench_region_grow_speedup():
     }
 
 
+def bench_vesselness():
+    """512x512x170 multiscale Frangi on the accelerator.  The reference's
+    documented number for this volume size is ~3-5 min in SlicerVMTK on an
+    i7-6700K (README.md:65)."""
+    import jax
+    import jax.numpy as jnp
+
+    from arterynetwork_tpu.ops.vesselness import frangi_vesselness
+
+    shape = (512, 512, 170)
+    vol = jnp.asarray(np.random.default_rng(0).normal(
+        0.1, 0.05, size=shape).astype(np.float32))
+    sigmas = (1.0, 2.0, 3.0, 4.0)
+
+    def run():
+        v = frangi_vesselness(vol, sigmas=sigmas)
+        jax.device_get(v[0, 0, 0])
+
+    run()
+    t0 = time.perf_counter()
+    run()
+    t = time.perf_counter() - t0
+    return {
+        "vesselness_s": t,
+        "vesselness_vs_documented_reference": 240.0 / t,
+    }
+
+
 def main():
     detail = {}
+    detail.update(bench_vesselness())
     detail.update(bench_region_grow())
     detail.update(bench_flow_large())
     detail.update(bench_config1_speedup())

@@ -80,3 +80,30 @@ def test_full_pipeline_on_phantom(tmp_path):
     # timings recorded per stage
     assert set(result["timings"]) == {
         "segmentation", "skeletonization", "graph", "flow"}
+
+
+def test_pipeline_from_raw_volume(tmp_path):
+    """Raw MRA entry point: vesselness computed in-framework (the
+    reference requires external 3D Slicer preprocessing here)."""
+    shape = (40, 40, 56)
+    rng = np.random.default_rng(2)
+    raw = rng.normal(100.0, 3.0, shape).astype(np.float32)
+    x, y = np.mgrid[: shape[0], : shape[1]]
+    tube = ((x - 20) ** 2 + (y - 20) ** 2 <= 3 ** 2)
+    for z in range(6, 50):
+        raw[:, :, z] += 120.0 * tube
+
+    store = ArtifactStore(str(tmp_path))
+    cfg = PipelineConfig()
+    cfg.vesselness.sigmas = (2.0, 3.0)
+    cfg.segmentation.global_threshold_fraction = 0.3
+    cfg.segmentation.min_component_size = 20
+    cfg.skeleton.backend = "native"
+    cfg.skeleton.prune_min_length = 4
+
+    result = run_pipeline(raw_volume=raw, config=cfg, store=store)
+    assert store.exists("vesselnessFiltered.nii.gz")
+    assert result["mask"].sum() > 100
+    assert len(result["segments"]) >= 1
+    assert "vesselness" in result["timings"]
+    assert np.isfinite(np.asarray(result["solution"].pressure)).all()

@@ -1,0 +1,64 @@
+"""Frangi vesselness filter tests."""
+
+import numpy as np
+
+from arterynetwork_tpu.ops.vesselness import (
+    frangi_vesselness,
+    symmetric_eigvals_3x3,
+)
+
+
+def test_eigenvalues_match_numpy():
+    rng = np.random.default_rng(0)
+    n = 2000
+    A = rng.normal(size=(n, 3, 3))
+    A = (A + A.transpose(0, 2, 1)) / 2
+    ours = symmetric_eigvals_3x3(
+        A[:, 0, 0], A[:, 1, 1], A[:, 2, 2],
+        A[:, 0, 1], A[:, 0, 2], A[:, 1, 2])
+    ours = np.stack([np.asarray(e) for e in ours], axis=1)
+    ref = np.linalg.eigvalsh(A)
+    np.testing.assert_allclose(ours, ref, atol=2e-5)
+
+
+def test_eigenvalues_degenerate():
+    # isotropic and rank-deficient cases
+    cases = np.array([
+        [2.0, 2.0, 2.0, 0.0, 0.0, 0.0],
+        [0.0, 0.0, 0.0, 0.0, 0.0, 0.0],
+        [1.0, 1.0, 5.0, 0.0, 0.0, 0.0],
+    ])
+    ours = symmetric_eigvals_3x3(*[cases[:, i] for i in range(6)])
+    ours = np.stack([np.asarray(e) for e in ours], axis=1)
+    expected = np.array([[2, 2, 2], [0, 0, 0], [1, 1, 5]], float)
+    np.testing.assert_allclose(ours, expected, atol=1e-6)
+
+
+def test_tube_lights_up():
+    """Vesselness is high inside a bright tube, low in flat background."""
+    shape = (40, 40, 60)
+    x, y, z = np.mgrid[: shape[0], : shape[1], : shape[2]]
+    vol = np.exp(-(((x - 20) ** 2 + (y - 20) ** 2) / (2 * 2.5 ** 2)))
+    vol = vol.astype(np.float32)
+
+    v = np.asarray(frangi_vesselness(vol, sigmas=(2.0, 3.0)))
+    inside = v[20, 20, 20:40].mean()
+    background = v[5, 5, 20:40].mean()
+    assert inside > 0.5
+    assert background < 0.05
+    assert inside > 20 * max(background, 1e-6)
+
+
+def test_plate_suppressed():
+    """A bright plate (sheet) is not a vessel: Rb/Ra discrimination."""
+    shape = (40, 40, 40)
+    x = np.mgrid[: shape[0], : shape[1], : shape[2]][0]
+    plate = np.exp(-((x - 20) ** 2) / (2 * 2.0 ** 2)).astype(np.float32)
+    tube_shape = shape
+    xx, yy, zz = np.mgrid[: shape[0], : shape[1], : shape[2]]
+    tube = np.exp(-(((xx - 20) ** 2 + (yy - 20) ** 2) / (2 * 2.0 ** 2)))
+
+    v_plate = np.asarray(frangi_vesselness(plate, sigmas=(2.0,)))
+    v_tube = np.asarray(frangi_vesselness(tube.astype(np.float32),
+                                          sigmas=(2.0,)))
+    assert v_tube[20, 20, 20] > 3 * v_plate[20, 20, 20]
