@@ -102,3 +102,48 @@ def table_lookup(bin_idx, table):
     else:
         out = table[flat]
     return out.reshape(shape)
+
+
+@jax.jit
+def sign_lookup(bin_idx, table):
+    """(table[bin_idx] >= 0) elementwise, gather-free.
+
+    The 256 sign bits pack into 8 uint32 words; per voxel the word is
+    picked with 8 fused compares and the bit extracted with shifts — a
+    single fused elementwise pass over the volume (no one-hot, no gather).
+    """
+    num_bins = table.shape[0]
+    pad = (-num_bins) % 32
+    table = jnp.pad(table, (0, pad), constant_values=-1.0)
+    n_words = (num_bins + pad) // 32
+    bits = (table >= 0).astype(jnp.uint32)
+    words = jnp.sum(
+        bits.reshape(n_words, 32)
+        << jnp.arange(32, dtype=jnp.uint32)[None, :], axis=1,
+        dtype=jnp.uint32)
+
+    idx = bin_idx.astype(jnp.int32)
+    w = (idx >> 5).astype(jnp.int32)
+    sel = jnp.zeros(bin_idx.shape, jnp.uint32)
+    for k in range(n_words):
+        sel = jnp.where(w == k, words[k], sel)
+    bit = (sel >> (idx & 31).astype(jnp.uint32)) & jnp.uint32(1)
+    return bit == 1
+
+
+def masked_histograms_best(bin_idx_flat, masks_flat, num_bins: int = 256):
+    """Backend-dispatched histogram: Pallas VMEM kernel on TPU (measured
+    ~1.8x the chunked-matmul XLA fallback), scatter-add elsewhere."""
+    if jax.default_backend() == "tpu" and masks_flat.shape[0] == 2:
+        from .pallas_kernels import masked_histograms_pallas
+        return masked_histograms_pallas(bin_idx_flat, masks_flat, num_bins)
+    return masked_histograms(bin_idx_flat, masks_flat, num_bins)
+
+
+def masked_histogram_one(bin_idx_flat, mask_flat, num_bins: int = 256):
+    """Single-mask histogram (Pallas on TPU, scatter elsewhere)."""
+    if jax.default_backend() == "tpu":
+        from .pallas_kernels import masked_histogram1_pallas
+        return masked_histogram1_pallas(bin_idx_flat, mask_flat, num_bins)
+    return _masked_histograms_scatter(bin_idx_flat, mask_flat[None],
+                                      num_bins)[0]

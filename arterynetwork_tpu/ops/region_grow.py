@@ -41,7 +41,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .histogram import masked_histograms, table_lookup
+from .histogram import (masked_histogram_one,
+                        masked_histograms_best, sign_lookup)
 from .stencil import dilate26
 
 # Gaussian normalization constant (variationalRegionGrowing.py:7).
@@ -109,24 +110,44 @@ def region_grow(
     diff = bin_values[:, None] - bin_values[None, :]
     K = (A_NORM * jnp.exp(-0.5 * H * diff * diff)).astype(dtype)
 
+    # With no excluded voxels (the common case) the active mask is
+    # identically True: skip its dilations and masking entirely, and use
+    # outer_hist = total_hist - inner_hist (the two region masks are
+    # disjoint and their union is the full volume), halving histogram work.
+    track_active = excluded_mask is not None
+    if not track_active:
+        hist_all = masked_histogram_one(
+            bin_idx_flat, jnp.ones_like(bin_idx_flat, jnp.bool_),
+            num_bins).astype(dtype)
+
     def compute_flips(seg, active):
         inner_bnd = seg & dilate26(~seg)
-        outer_bnd = (~seg) & active & dilate26(seg)
+        if track_active:
+            outer_bnd = (~seg) & active & dilate26(seg)
+        else:
+            outer_bnd = (~seg) & dilate26(seg)
         all_bnd = inner_bnd | outer_bnd
 
         seg_flat = seg.reshape(-1)
-        outer_region_flat = ((~seg) & active).reshape(-1)
-        hists = masked_histograms(
-            bin_idx_flat, jnp.stack([seg_flat, outer_region_flat]), num_bins)
-        inner_hist = hists[0].astype(dtype)
-        outer_hist = hists[1].astype(dtype)
+        if track_active:
+            outer_region_flat = ((~seg) & active).reshape(-1)
+            hists = masked_histograms_best(
+                bin_idx_flat, jnp.stack([seg_flat, outer_region_flat]),
+                num_bins)
+            inner_hist = hists[0].astype(dtype)
+            outer_hist = hists[1].astype(dtype)
+        else:
+            inner_hist = masked_histogram_one(
+                bin_idx_flat, seg_flat, num_bins).astype(dtype)
+            outer_hist = hist_all - inner_hist
         inner_size = jnp.maximum(jnp.sum(inner_hist), jnp.asarray(1.0, dtype))
         outer_size = jnp.maximum(jnp.sum(outer_hist), jnp.asarray(1.0, dtype))
 
         # diff(b) = innerProbNorm(b) - outerProbNorm(b); flip test is
-        # diff[bin(p)] >= 0 (reference >= tie behavior, :87)
+        # diff[bin(p)] >= 0 (reference >= tie behavior, :87); evaluated
+        # via packed sign bits (one fused elementwise pass, no gather)
         diff = (K @ inner_hist) / inner_size - (K @ outer_hist) / outer_size
-        inner_ge_outer = table_lookup(bin_idx, diff) >= 0
+        inner_ge_outer = sign_lookup(bin_idx, diff)
         flips = all_bnd & jnp.logical_xor(seg, inner_ge_outer)
         return flips
 
@@ -145,8 +166,12 @@ def region_grow(
         # pre-update state when the size cap trips, :101-104).
         apply = ~(converged | size_capped)
         seg_new = jnp.where(apply, jnp.logical_xor(seg, flips), seg)
-        active_new = jnp.where(apply, active | dilate26(dilate26(flips)),
-                               active)
+        if track_active:
+            active_new = jnp.where(apply,
+                                   active | dilate26(dilate26(flips)),
+                                   active)
+        else:
+            active_new = active
         count_new = jnp.sum(seg_new, dtype=jnp.int32)
         it_new = it + apply.astype(jnp.int32)
 

@@ -14,14 +14,18 @@ import jax.numpy as jnp
 
 
 def _axis_max3(x, axis):
-    """Max over the 3-window along ``axis`` (zero/False padding)."""
+    """Max over the 3-window along ``axis`` (zero/False padding).
+
+    Static slices, not jnp.take: gathers are pathologically slow on this
+    TPU backend."""
+    import jax
     pad = [(0, 0)] * x.ndim
     pad[axis] = (1, 1)
     xp = jnp.pad(x, pad)
     n = x.shape[axis]
-    lo = jnp.take(xp, jnp.arange(0, n), axis=axis)
-    mid = jnp.take(xp, jnp.arange(1, n + 1), axis=axis)
-    hi = jnp.take(xp, jnp.arange(2, n + 2), axis=axis)
+    lo = jax.lax.slice_in_dim(xp, 0, n, axis=axis)
+    mid = jax.lax.slice_in_dim(xp, 1, n + 1, axis=axis)
+    hi = jax.lax.slice_in_dim(xp, 2, n + 2, axis=axis)
     if x.dtype == jnp.bool_:
         return lo | mid | hi
     return jnp.maximum(jnp.maximum(lo, mid), hi)
@@ -47,13 +51,14 @@ def has_neighbor26(mask):
 
 
 def _axis_sum3(x, axis):
+    import jax
     pad = [(0, 0)] * x.ndim
     pad[axis] = (1, 1)
     xp = jnp.pad(x, pad)
     n = x.shape[axis]
-    lo = jnp.take(xp, jnp.arange(0, n), axis=axis)
-    mid = jnp.take(xp, jnp.arange(1, n + 1), axis=axis)
-    hi = jnp.take(xp, jnp.arange(2, n + 2), axis=axis)
+    lo = jax.lax.slice_in_dim(xp, 0, n, axis=axis)
+    mid = jax.lax.slice_in_dim(xp, 1, n + 1, axis=axis)
+    hi = jax.lax.slice_in_dim(xp, 2, n + 2, axis=axis)
     return lo + mid + hi
 
 

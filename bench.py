@@ -53,32 +53,35 @@ def _build(max_depth, k, dtype, seed=0):
 
 
 def bench_flow_large():
-    """>=10k-edge HW solve on the accelerator (f32 + CG on TPU)."""
+    """Network solves on the accelerator at BraVa scale (~2k segments,
+    dense-LU Newton) and at 16k edges (matrix-free CG Newton)."""
     import jax
     import jax.numpy as jnp
 
     from arterynetwork_tpu.flow.solvers import solve_pressure_newton
 
-    net, gt, system = _build(max_depth=13, k=1.852, dtype=jnp.float32)
+    out = {}
+    for tag, depth in (("2k", 10), ("16k", 13)):
+        net, gt, system = _build(max_depth=depth, k=1.852,
+                                 dtype=jnp.float32)
 
-    def run():
-        sol = solve_pressure_newton(system, max_iter=40, tol=1e-9,
-                                    linear_solver="cg")
-        # device_get, not block_until_ready: the axon remote backend's
-        # block_until_ready returns at enqueue time; only a device->host
-        # transfer actually synchronizes.
-        jax.device_get(sol.residual_norm)
-        return sol
+        def run():
+            sol = solve_pressure_newton(system, max_iter=60, tol=1e-9,
+                                        linear_solver="auto")
+            # device_get, not block_until_ready: the axon backend's
+            # block_until_ready returns at enqueue time
+            jax.device_get(sol.residual_norm)
+            return sol
 
-    t = _median_time(run, n=3, warmup=1)
-    sol = run()
-    err = np.nanmax(np.abs(np.asarray(sol.pressure, dtype=np.float64)
-                           - gt.pressure) / np.abs(gt.pressure))
-    return {
-        "flow_solve_ms": t * 1e3,
-        "flow_edges": net.num_edges,
-        "flow_rel_pressure_err": float(err),
-    }
+        t = _median_time(run, n=3, warmup=1)
+        sol = run()
+        err = np.nanmax(np.abs(np.asarray(sol.pressure, dtype=np.float64)
+                               - gt.pressure) / np.abs(gt.pressure))
+        out[f"flow_solve_ms_{tag}"] = t * 1e3
+        out[f"flow_edges_{tag}"] = net.num_edges
+        out[f"flow_rel_pressure_err_{tag}"] = float(err)
+    out["flow_solve_ms"] = out["flow_solve_ms_16k"]
+    return out
 
 
 def _reference_protocol_solve(net, gt):

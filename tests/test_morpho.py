@@ -132,3 +132,33 @@ def test_curvature_by_triangle_exact():
     pts = [(R * np.cos(a), R * np.sin(a), 0.0) for a in ang]
     k = curvature_by_triangle(pts)
     assert abs(k - 1.0 / R) < 1e-6
+
+
+def test_partition_compartments_and_save(tmp_path):
+    from arterynetwork_tpu.graphs.partitioning import (
+        load_partition, partition_compartments, save_partition)
+    from arterynetwork_tpu.io.artifacts import ArtifactStore
+
+    segments = _y_segments()
+    G = _graph_from_segments(segments)
+    junction = (30, 30, 30)
+    chosen = {
+        "A": {"initial_voxels": [segments[1][1]], "boundary_voxels": [junction]},
+        "B": {"initial_voxels": [segments[2][1]], "boundary_voxels": [junction]},
+    }
+    info = partition_compartments(G, segments, chosen)
+    # each compartment covers its branch, bounded at the junction
+    assert set(info) == {"A", "B"}
+    tip_a, tip_b = segments[1][-1], segments[2][-1]
+    assert tuple(tip_a) in set(map(tuple, info["A"]["visited_voxels"]))
+    assert tuple(tip_b) in set(map(tuple, info["B"]["visited_voxels"]))
+    assert G.nodes[tuple(tip_a)]["partitionName"] == "A"
+    # segment levels assigned on edges of traversed segments
+    assert any("segmentLevel" in d for _, _, d in G.edges(data=True))
+
+    store = ArtifactStore(str(tmp_path))
+    save_partition(store, chosen, info, G)
+    chosen2, info2 = load_partition(store)
+    assert set(chosen2) == {"A", "B"}
+    assert info2["A"]["segment_index_list"] == info["A"]["segment_index_list"]
+    assert store.exists("graphRepresentationCleanedWithAdvancedInfo.graphml")
