@@ -50,12 +50,18 @@ class FlowSolution(NamedTuple):
 
 
 def _signed_flow_and_weight(dp, adm, k):
-    """Q(dp) and the Newton weight dQ/d(dp), both well-defined at dp=0."""
+    """Q(dp) and the linearization weight, both well-defined at dp=0.
+
+    The weight is the SECANT conductance Q/dP, not the tangent dQ/d(dP):
+    Hazen-Williams balances contain k-th-root modes (|x|^(1/k) with
+    infinite slope at the root) on which tangent Newton oscillates forever
+    at ratio |1-k|^(1/k) (~0.917 for k=1.852, measured), while the secant
+    fixed point is exact on those modes and contracts at ~(1-1/k)=0.46 on
+    smooth ones.  This is the classic pipe-network linearization."""
     mag = jnp.maximum(jnp.abs(dp), _DP_EPS)
-    q_over_dp = adm ** (1.0 / k) * mag ** (1.0 / k - 1.0)  # secant conductance
+    q_over_dp = adm ** (1.0 / k) * mag ** (1.0 / k - 1.0)
     q = q_over_dp * dp
-    w = q_over_dp / k                                       # tangent conductance
-    return q, w
+    return q, q_over_dp
 
 
 def _node_residual(p_unknown, system: FlowSystem, adm):
@@ -130,6 +136,7 @@ def solve_pressure_newton(
     max_iter: int = 60,
     tol: float = 1e-14,
     linear_solver: str = "dense",
+    plan=None,
 ) -> FlowSolution:
     """Damped Newton solve for interior pressures, then flows/velocities.
 
@@ -174,21 +181,35 @@ def solve_pressure_newton(
     p_init = p_init.astype(dtype)
 
     if linear_solver == "auto":
+        # tree elimination is exact and O(depth) when a plan is given;
         # dense LU on the MXU wins up to a few thousand unknowns; the
-        # matrix-free CG scales beyond (scatter/gather-free SpMV)
-        linear_solver = "dense" if M <= 4096 else "cg"
-    solve_fn = (_dense_laplacian_solve if linear_solver == "dense"
-                else _cg_laplacian_solve)
+        # matrix-free CG scales beyond
+        if plan is not None:
+            linear_solver = "tree"
+        else:
+            linear_solver = "dense" if M <= 4096 else "cg"
+    if linear_solver == "tree":
+        from .tree_solver import solve_laplacian_tree
+
+        if plan is None:
+            raise ValueError("linear_solver='tree' needs an EliminationPlan "
+                             "(flow.tree_solver.plan_elimination)")
+
+        def solve_fn(system, w, rhs):
+            return solve_laplacian_tree(system, plan, w, rhs)
+    else:
+        solve_fn = (_dense_laplacian_solve if linear_solver == "dense"
+                    else _cg_laplacian_solve)
 
     def norm_r(p):
         r, _, _ = _node_residual(p, system, adm)
         return jnp.max(jnp.abs(r)) if M > 0 else jnp.zeros((), dtype)
 
     def body(state):
-        p, _, it = state
+        p, _, it, _ = state
         r, _, w = _node_residual(p, system, adm)
-        # r = inflow - outflow, so dr/dp = -Laplacian(w); the Newton step
-        # J step = -r is therefore Laplacian(w) step = +r.
+        # r = inflow - outflow, so dr/dp = -Laplacian(w); the update
+        # direction solves Laplacian(w) step = +r.
         step = solve_fn(system, w, r)
         rn0 = jnp.max(jnp.abs(r))
 
@@ -207,18 +228,24 @@ def solve_pressure_newton(
                 lambda: (alpha * 0.5, False),
             )
 
-        alpha, _ = jax.lax.while_loop(ls_cond, ls_body,
-                                      (jnp.ones((), dtype), False))
+        alpha, improved = jax.lax.while_loop(ls_cond, ls_body,
+                                             (jnp.ones((), dtype), False))
         p_new = p + alpha * step
-        return p_new, norm_r(p_new), it + 1
+        rn_new = norm_r(p_new)
+        # stalled: the line search found no improving step (numerical
+        # floor reached) — stop instead of burning iterations
+        stalled = (~improved) | (rn_new >= rn0 * (1.0 - 1e-6))
+        return p_new, rn_new, it + 1, stalled
 
     def cond(state):
-        _, rn, it = state
-        return jnp.logical_and(rn > tol, it < max_iter)
+        _, rn, it, stalled = state
+        return jnp.logical_and(jnp.logical_and(rn > tol, it < max_iter),
+                               ~stalled)
 
     if M > 0:
-        p_unknown, rn, it = jax.lax.while_loop(
-            cond, body, (p_init, norm_r(p_init), jnp.zeros((), jnp.int32)))
+        p_unknown, rn, it, _ = jax.lax.while_loop(
+            cond, body, (p_init, norm_r(p_init), jnp.zeros((), jnp.int32),
+                         jnp.bool_(False)))
     else:
         p_unknown, rn, it = p_init, jnp.zeros((), dtype), jnp.zeros((), jnp.int32)
 

@@ -60,14 +60,17 @@ def bench_flow_large():
 
     from arterynetwork_tpu.flow.solvers import solve_pressure_newton
 
+    from arterynetwork_tpu.flow.tree_solver import plan_elimination
+
     out = {}
     for tag, depth in (("2k", 10), ("16k", 13)):
         net, gt, system = _build(max_depth=depth, k=1.852,
                                  dtype=jnp.float32)
+        plan = plan_elimination(system)
 
         def run():
             sol = solve_pressure_newton(system, max_iter=60, tol=1e-9,
-                                        linear_solver="auto")
+                                        linear_solver="auto", plan=plan)
             # device_get, not block_until_ready: the axon backend's
             # block_until_ready returns at enqueue time
             jax.device_get(sol.residual_norm)

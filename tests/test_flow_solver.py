@@ -137,3 +137,41 @@ def test_ground_truth_inlet_conditions():
                   if net.tails[e] in set(term.tolist())]
     np.testing.assert_allclose(gt.flow[term_edges].sum(),
                                754.0 / 60 / 1e6, rtol=1e-12)
+
+
+def test_tree_elimination_solver_matches_dense():
+    """Direct tree elimination equals the dense solve on trees and on
+    merge (loopy) networks."""
+    from arterynetwork_tpu.flow.tree_solver import plan_elimination
+
+    for seed, merge in ((0, False), (3, True), (7, True)):
+        net = _tree(max_depth=7, k=1.852, seed=seed, allow_merge=merge)
+        gt = create_ground_truth(net, option=2,
+                                 rng=np.random.default_rng(seed))
+        if not gt.success:
+            continue
+        system = build_system(net, boundary_pressure=gt.pressure)
+        plan = plan_elimination(system)
+        dense = solve_pressure_newton(system, linear_solver="dense")
+        tree = solve_pressure_newton(system, linear_solver="tree",
+                                     plan=plan)
+        np.testing.assert_allclose(np.asarray(tree.pressure),
+                                   np.asarray(dense.pressure),
+                                   rtol=1e-9, atol=1e-7)
+        np.testing.assert_allclose(np.asarray(tree.pressure), gt.pressure,
+                                   rtol=1e-8, atol=1e-7)
+
+
+def test_tree_plan_core_is_small():
+    """On a merge network the 2-core is only the loop nodes."""
+    from arterynetwork_tpu.flow.tree_solver import plan_elimination
+
+    net = _tree(max_depth=7, k=1.852, seed=3, allow_merge=True)
+    gt = create_ground_truth(net, option=2, rng=np.random.default_rng(3))
+    if not gt.success:
+        return
+    system = build_system(net, boundary_pressure=gt.pressure)
+    plan = plan_elimination(system)
+    n_loops = net.num_edges - (net.num_nodes - 1)
+    # core nodes ~ a few per loop; zero when no merges happened
+    assert plan.core_size <= max(4 * n_loops, 0) + 2
