@@ -176,3 +176,64 @@ def apply_flow_to_network(net: FlowNetwork, edge_flow,
     velocity = np.asarray(velocity_from_flow(edge_flow, radius_m))
     return net.replace(node_pressure=pressure, edge_flow=edge_flow,
                        edge_velocity=velocity)
+
+
+def compare_network_properties(net_before: FlowNetwork,
+                               net_after: FlowNetwork) -> Dict:
+    """Radius/length ratio study between two timepoints
+    (compareNetworkPropertyTest, fluidSimulation.py:2881-2987)."""
+    ratio = np.where(net_before.radius > 0,
+                     net_after.radius / np.maximum(net_before.radius, 1e-12),
+                     np.nan)
+    per_depth = {}
+    for d in np.unique(net_before.edge_depth):
+        sel = net_before.edge_depth == d
+        vals = ratio[sel]
+        vals = vals[np.isfinite(vals)]
+        if vals.size:
+            per_depth[int(d)] = {
+                "mean": float(vals.mean()), "std": float(vals.std()),
+                "n": int(vals.size)}
+    finite = ratio[np.isfinite(ratio)]
+    return {
+        "radius_ratio": ratio,
+        "radius_ratio_mean": float(finite.mean()) if finite.size else None,
+        "radius_ratio_per_depth": per_depth,
+    }
+
+
+def examine_fluid_result(net: FlowNetwork, solution,
+                         partitions: Optional[Dict[str, dict]] = None
+                         ) -> Dict:
+    """Result audit (examineFluidResult, fluidSimulation.py:4536-4634):
+    per-compartment flow totals, terminating pressure stats, pressure
+    drop along the tree."""
+    from ..constants import PASCAL_PER_MMHG
+    from .boundary import COW_PARTITIONS, terminating_nodes_of_partition
+
+    if partitions is None:
+        partitions = COW_PARTITIONS
+    pressure = np.asarray(solution.pressure)
+    flow = np.asarray(solution.flow)
+    out = {"per_partition": {}}
+    for name, part in partitions.items():
+        term = terminating_nodes_of_partition(net, part)
+        tp = pressure[term] / PASCAL_PER_MMHG
+        inlet_edges = [e for e in range(net.num_edges)
+                       if int(net.tails[e]) in set(part["start_nodes"])]
+        out["per_partition"][name] = {
+            "terminating_pressure_mmhg": {
+                "mean": float(tp.mean()) if tp.size else None,
+                "min": float(tp.min()) if tp.size else None,
+                "max": float(tp.max()) if tp.size else None,
+                "n": int(tp.size)},
+            "inlet_flow_cm3s": float(
+                np.sum(flow[inlet_edges]) * 1e6) if inlet_edges else 0.0,
+        }
+    out["inlet_pressure_mmhg"] = float(
+        pressure[net.entry_nodes].mean() / PASCAL_PER_MMHG)
+    out["total_terminal_flow_cm3s"] = float(
+        np.sum(flow[[e for e in range(net.num_edges)
+                     if net.tails[e] in set(net.terminal_nodes().tolist())]])
+        * 1e6)
+    return out

@@ -85,12 +85,18 @@ def build_timestep_batch(
 
 def solve_timestep_batch(net: FlowNetwork, batch, dtype=jnp.float64,
                          max_iter: int = 60,
-                         linear_solver: str = "dense") -> FlowSolution:
+                         linear_solver: str = "auto") -> FlowSolution:
     """vmap-solve all timesteps at once.  Returns stacked FlowSolution
-    with leading timestep axis."""
+    with leading timestep axis.  The elimination plan is structural, so
+    one plan serves every timestep."""
     base = build_system(net, boundary_pressure=batch["boundary_pressure"][0],
                         dtype=dtype)
     fixed = np.asarray(base.node_fixed)
+
+    plan = None
+    if linear_solver in ("auto", "tree"):
+        from .tree_solver import plan_elimination
+        plan = plan_elimination(base)
 
     bp = np.where(fixed[None, :], batch["boundary_pressure"], 0.0)
 
@@ -103,7 +109,7 @@ def solve_timestep_batch(net: FlowNetwork, batch, dtype=jnp.float64,
             node_fixed_pressure=fixed_pressure.astype(dtype),
         )
         return solve_pressure_newton(sys_t, max_iter=max_iter,
-                                     linear_solver=linear_solver)
+                                     linear_solver=linear_solver, plan=plan)
 
     return jax.vmap(one)(
         jnp.asarray(batch["radius_m"], dtype),
@@ -117,7 +123,7 @@ def run_longitudinal(net: FlowNetwork, ground_truth_pressure, radius_end,
                      num_timesteps: int = 5, interpolation_option: int = 1,
                      adan_model: Optional[ADANModel] = None,
                      partitions: Dict[str, dict] = None,
-                     dtype=jnp.float64, linear_solver: str = "dense"):
+                     dtype=jnp.float64, linear_solver: str = "auto"):
     """End-to-end GBMTest5: interpolate radii, adjust terminating
     pressures by compartment volume change, batch-solve all timesteps.
 

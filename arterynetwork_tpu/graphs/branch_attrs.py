@@ -50,7 +50,13 @@ def calculate_branch_info(segments_old: Sequence[Sequence],
     if distance_transform is None:
         if vessel_volume is None:
             raise ValueError("need vessel_volume or distance_transform")
-        distance_transform = np.asarray(edt(np.asarray(vessel_volume) != 0))
+        from ..ops.native import bounding_box
+
+        vv = np.asarray(vessel_volume) != 0
+        box = bounding_box(vv, margin=2)
+        dt_full = np.zeros(vv.shape, np.float32)
+        dt_full[box] = np.asarray(edt(vv[box]))
+        distance_transform = dt_full
     dt = np.asarray(distance_transform)
 
     # index volume of the original skeleton (first segment index is 1,

@@ -99,13 +99,34 @@ def compact_labels(labels):
     return compact, label_result
 
 
-def label_volume(volume, min_size: int = 1, connectivity: int = 3):
+def label_volume(volume, min_size: int = 1, connectivity: int = 3,
+                 backend: str = "auto"):
     """API parity with the reference ``labelVolume``
     (generateVesselVolume.py:107-136 / skeletonization.py:67-95): label the
     volume, return (labeled, labelResult) with components smaller than
-    ``min_size`` excluded from labelResult."""
-    raw = connected_components(volume, connectivity=connectivity)
-    labeled, label_result = compact_labels(raw)
+    ``min_size`` excluded from labelResult.
+
+    backend="host" uses scipy's C labeling (the pointer-jumping device
+    kernel relies on gathers, which run ~8 us/element on this TPU — CC is
+    a host-side op at MRA scale, exactly as in the reference); "device"
+    forces the JAX kernel; "auto" picks host on TPU.
+    """
+    import jax
+
+    if backend == "auto":
+        backend = "host" if jax.default_backend() == "tpu" else "device"
+    if backend == "host":
+        from scipy import ndimage
+        structure = ndimage.generate_binary_structure(
+            3, 3 if connectivity >= 2 else 1)
+        labeled, _ = ndimage.label(np.asarray(volume) != 0,
+                                   structure=structure)
+        labeled = labeled.astype(np.int32)
+        counts = np.bincount(labeled.ravel())
+        label_result = [(int(l), int(c)) for l, c in enumerate(counts)]
+    else:
+        raw = connected_components(volume, connectivity=connectivity)
+        labeled, label_result = compact_labels(raw)
     filtered = [(int(l), int(s)) for l, s in label_result if s >= min_size]
     return labeled, filtered
 
@@ -114,10 +135,11 @@ def drop_small_components(volume, threshold: int = 150, connectivity: int = 3):
     """Zero out connected components with <= threshold voxels (reference
     main(), generateVesselVolume.py:195-199)."""
     labeled, label_result = label_volume(volume, connectivity=connectivity)
-    out = np.asarray(volume).copy()
+    sizes = np.zeros(max(l for l, _ in label_result) + 1, np.int64)
     for lab, size in label_result:
-        if lab == 0:
-            continue
-        if size <= threshold:
-            out[labeled == lab] = 0
+        sizes[lab] = size
+    keep = sizes > threshold
+    keep[0] = False
+    out = np.asarray(volume).copy()
+    out[~keep[np.asarray(labeled)]] = 0
     return out

@@ -192,8 +192,12 @@ def flow_stage(G, segments, root, config=None, store=None,
     dtype = jnp.float64 if cfg.dtype == "float64" else jnp.float32
     system = build_system(net, boundary_pressure=boundary_pressure,
                           dtype=dtype)
+    plan = None
+    if cfg.linear_solver in ("auto", "tree"):
+        from .flow.tree_solver import plan_elimination
+        plan = plan_elimination(system)
     sol = solve_pressure_newton(system, max_iter=cfg.max_iter, tol=cfg.tol,
-                                linear_solver=cfg.linear_solver)
+                                linear_solver=cfg.linear_solver, plan=plan)
     net = net.replace(node_pressure=np.asarray(sol.pressure),
                       edge_flow=np.asarray(sol.flow),
                       edge_velocity=np.asarray(sol.velocity))

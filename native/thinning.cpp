@@ -173,26 +173,52 @@ long thin_volume(uint8_t* vol, int nz, int ny, int nx,
     long deleted_total = 0;
     int max_level = dist2 ? static_cast<int>(std::sqrt(max_d2)) + 1 : 1;
 
+    // Worklist processing: one full scan per distance level to seed the
+    // queue, then queue-driven rechecks (neighbors of deletions), instead
+    // of repeated full-volume rescans.
+    std::vector<long> queue;
+    queue.reserve(1 << 16);
+    auto consider = [&](int z, int y, int x, float lvl2) -> bool {
+        long i = v.idx(z, y, x);
+        if (!vol[i]) return false;
+        if (dist2 && dist2[i] > lvl2) return false;
+        if (!has_bg6(v, z, y, x)) return false;
+        int nfg;
+        if (!is_simple(v, z, y, x, &nfg)) return false;
+        if (preserve_endpoints && nfg <= 1) return false;
+        vol[i] = 0;  // sequential deletion: always safe
+        ++deleted_total;
+        return true;
+    };
+
     for (int level = 1; level <= max_level + 1; ++level) {
         float lvl2 = (level <= max_level)
             ? static_cast<float>(level) * level + 0.5f : 3.0e38f;
-        bool changed = true;
-        while (changed) {
-            changed = false;
-            for (int z = 0; z < nz; ++z)
-                for (int y = 0; y < ny; ++y)
-                    for (int x = 0; x < nx; ++x) {
-                        long i = v.idx(z, y, x);
-                        if (!vol[i]) continue;
-                        if (dist2 && dist2[i] > lvl2) continue;
-                        if (!has_bg6(v, z, y, x)) continue;
-                        int nfg;
-                        if (!is_simple(v, z, y, x, &nfg)) continue;
-                        if (preserve_endpoints && nfg <= 1) continue;
-                        vol[i] = 0;  // sequential deletion: always safe
-                        ++deleted_total;
-                        changed = true;
-                    }
+        queue.clear();
+        for (int z = 0; z < nz; ++z)
+            for (int y = 0; y < ny; ++y)
+                for (int x = 0; x < nx; ++x) {
+                    long i = v.idx(z, y, x);
+                    if (vol[i] && (!dist2 || dist2[i] <= lvl2)
+                        && has_bg6(v, z, y, x))
+                        queue.push_back(i);
+                }
+        for (size_t qi = 0; qi < queue.size(); ++qi) {
+            long i = queue[qi];
+            int x = static_cast<int>(i % nx);
+            int y = static_cast<int>((i / nx) % ny);
+            int z = static_cast<int>(i / (static_cast<long>(nx) * ny));
+            if (!consider(z, y, x, lvl2)) continue;
+            // re-examine neighbors of the deleted voxel
+            for (int k = 0; k < 26; ++k) {
+                int zz = z + OFF[k][0], yy = y + OFF[k][1],
+                    xx = x + OFF[k][2];
+                if (zz < 0 || yy < 0 || xx < 0 || zz >= nz || yy >= ny
+                    || xx >= nx) continue;
+                long j = v.idx(zz, yy, xx);
+                if (vol[j] && (!dist2 || dist2[j] <= lvl2))
+                    queue.push_back(j);
+            }
         }
     }
     return deleted_total;

@@ -81,3 +81,33 @@ def test_apply_flow_forward_sweep_matches_ground_truth():
     out = apply_flow_to_network(net, gt.flow, inlet_pressure=gt.pressure[0])
     np.testing.assert_allclose(out.node_pressure, gt.pressure, rtol=1e-10)
     np.testing.assert_allclose(out.edge_velocity, gt.velocity, rtol=1e-10)
+
+
+def test_compare_network_properties():
+    from arterynetwork_tpu.flow.experiments import compare_network_properties
+
+    net = _net(seed=5, depth=5)
+    net2 = net.replace(radius=net.radius * 0.7)
+    out = compare_network_properties(net, net2)
+    assert abs(out["radius_ratio_mean"] - 0.7) < 1e-12
+    assert all(abs(v["mean"] - 0.7) < 1e-12
+               for v in out["radius_ratio_per_depth"].values())
+
+
+def test_examine_fluid_result():
+    from arterynetwork_tpu.flow.experiments import examine_fluid_result
+    from arterynetwork_tpu.flow import build_system
+    from arterynetwork_tpu.flow.solvers import solve_pressure_newton
+
+    net = _net(seed=6, depth=5)
+    roots = np.nonzero(net.node_depth == 1)[0]
+    parts = {f"P{i}": {"start_nodes": [int(r)], "boundary_nodes": []}
+             for i, r in enumerate(roots)}
+    gt = create_ground_truth(net, option=2, rng=np.random.default_rng(0))
+    system = build_system(net, boundary_pressure=gt.pressure)
+    sol = solve_pressure_newton(system)
+    out = examine_fluid_result(net, sol, parts)
+    total_in = sum(p["inlet_flow_cm3s"]
+                   for p in out["per_partition"].values())
+    np.testing.assert_allclose(total_in, out["total_terminal_flow_cm3s"],
+                               rtol=1e-6)
