@@ -34,20 +34,22 @@ _INF = 1e12
 
 
 def _axis_minplus_banded(f, axis, band, s2):
-    """min_k f(j+k) + s2*k^2 for |k| <= band (shift-min passes)."""
+    """min_k f(j+k) + s2*k^2 for |k| <= band.
+
+    Statically unrolled slices (dynamic_slice in a fori_loop measured
+    ~150x slower on this TPU backend and pathologically slow to
+    compile)."""
     n = f.shape[axis]
     band = min(band, n - 1)
     pad = [(0, 0)] * f.ndim
     pad[axis] = (band, band)
     fp = jnp.pad(f, pad, constant_values=_INF)
-
-    def body(i, out):
+    out = jnp.full_like(f, _INF)
+    for i in range(2 * band + 1):
         k = i - band
-        shifted = jax.lax.dynamic_slice_in_dim(fp, i, n, axis=axis)
-        return jnp.minimum(out, shifted + s2 * (k * k))
-
-    out0 = jnp.full_like(f, _INF)
-    return jax.lax.fori_loop(0, 2 * band + 1, body, out0)
+        shifted = jax.lax.slice_in_dim(fp, i, i + n, axis=axis)
+        out = jnp.minimum(out, shifted + s2 * (k * k))
+    return out
 
 
 def _axis_minplus_exact(f, axis, s2, block=64):

@@ -63,18 +63,24 @@ def bounding_box(mask, margin: int = 1):
 
 
 def skeletonize_native(mask, distance_ordered: bool = True,
-                       preserve_endpoints: bool = True) -> np.ndarray:
+                       preserve_endpoints: bool = True,
+                       distance_transform=None) -> np.ndarray:
     """Sequential distance-ordered thinning (C++).
 
     The volume is cropped to the foreground bounding box first: vessels
     occupy a small fraction of an MRA volume and the sequential passes
-    scan the whole array."""
+    scan the whole array.  ``distance_transform`` (unsquared EDT of the
+    full mask) may be shared from the pipeline to avoid recomputation."""
     full = np.asarray(mask) != 0
     box = bounding_box(full, margin=2)
     vol = np.ascontiguousarray(full[box], dtype=np.uint8)
     nz, ny, nx = vol.shape
     lib = get_lib()
-    if distance_ordered:
+    if distance_transform is not None:
+        d2 = np.ascontiguousarray(
+            np.asarray(distance_transform)[box] ** 2, dtype=np.float32)
+        d2_ptr = d2.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
+    elif distance_ordered:
         from .edt import edt_squared
         d2 = np.ascontiguousarray(
             np.asarray(edt_squared(vol, band=32)), dtype=np.float32)

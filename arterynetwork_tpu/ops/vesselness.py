@@ -60,27 +60,44 @@ def _conv_axis(vol, kernel, axis):
     return out
 
 
+def _shift(x, axis, d):
+    """x shifted by d along axis (edge replicate)."""
+    n = x.shape[axis]
+    pad = [(0, 0)] * x.ndim
+    if d > 0:
+        pad[axis] = (d, 0)
+        return jax.lax.slice_in_dim(jnp.pad(x, pad, mode="edge"), 0, n,
+                                    axis=axis)
+    pad[axis] = (0, -d)
+    return jax.lax.slice_in_dim(jnp.pad(x, pad, mode="edge"), -d, n - d,
+                                axis=axis)
+
+
 def hessian_at_scale(vol, sigma: float):
-    """gamma=1 normalized Hessian components (xx, yy, zz, xy, xz, yz)."""
+    """gamma=1 normalized Hessian (xx, yy, zz, xy, xz, yz).
+
+    Smooth once with the Gaussian (3 separable passes), then central
+    finite differences for the second derivatives — G''*I = D2(G*I), so
+    this is the derivative-of-smoothed formulation (what skimage's Frangi
+    uses) at ~5x fewer full-volume passes than separate derivative
+    kernels per component."""
     g0 = _gaussian_kernel(sigma, 0)
-    g1 = _gaussian_kernel(sigma, 1)
-    g2 = _gaussian_kernel(sigma, 2)
     s2 = jnp.float32(sigma * sigma)
+    sm = vol
+    for axis in range(3):
+        sm = _conv_axis(sm, g0, axis)
 
-    def sep(orders):
-        out = vol
-        for axis, order in enumerate(orders):
-            k = (g0, g1, g2)[order]
-            out = _conv_axis(out, k, axis)
-        return out * s2
+    def d2(axis):
+        return (_shift(sm, axis, 1) + _shift(sm, axis, -1) - 2.0 * sm) * s2
 
-    hxx = sep((2, 0, 0))
-    hyy = sep((0, 2, 0))
-    hzz = sep((0, 0, 2))
-    hxy = sep((1, 1, 0))
-    hxz = sep((1, 0, 1))
-    hyz = sep((0, 1, 1))
-    return hxx, hyy, hzz, hxy, hxz, hyz
+    def dcross(a, b):
+        pp = _shift(_shift(sm, a, 1), b, 1)
+        mm = _shift(_shift(sm, a, -1), b, -1)
+        pm = _shift(_shift(sm, a, 1), b, -1)
+        mp = _shift(_shift(sm, a, -1), b, 1)
+        return (pp + mm - pm - mp) * (0.25 * s2)
+
+    return (d2(0), d2(1), d2(2), dcross(0, 1), dcross(0, 2), dcross(1, 2))
 
 
 def symmetric_eigvals_3x3(a11, a22, a33, a12, a13, a23):
@@ -124,11 +141,17 @@ def frangi_vesselness(volume, sigmas=(1.0, 2.0, 3.0), alpha=0.5, beta=0.5,
     for sigma in sigmas:
         hxx, hyy, hzz, hxy, hxz, hyz = hessian_at_scale(vol, float(sigma))
         l1a, l2a, l3a = symmetric_eigvals_3x3(hxx, hyy, hzz, hxy, hxz, hyz)
-        # sort by |lambda|: lam1 smallest magnitude
-        lams = jnp.stack([l1a, l2a, l3a])
-        order = jnp.argsort(jnp.abs(lams), axis=0)
-        lam_sorted = jnp.take_along_axis(lams, order, axis=0)
-        lam1, lam2, lam3 = lam_sorted[0], lam_sorted[1], lam_sorted[2]
+        # sort by |lambda| with an explicit 3-element compare-swap network
+        # (argsort/take_along_axis over the volume is far slower)
+        a, b, c = l1a, l2a, l3a
+
+        def swap_if(cond, x, y):
+            return jnp.where(cond, y, x), jnp.where(cond, x, y)
+
+        a, b = swap_if(jnp.abs(a) > jnp.abs(b), a, b)
+        b, c = swap_if(jnp.abs(b) > jnp.abs(c), b, c)
+        a, b = swap_if(jnp.abs(a) > jnp.abs(b), a, b)
+        lam1, lam2, lam3 = a, b, c
 
         eps = 1e-10
         ra = jnp.abs(lam2) / (jnp.abs(lam3) + eps)

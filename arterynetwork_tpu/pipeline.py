@@ -40,20 +40,49 @@ class StageTimings:
         self.seconds[name] = self.seconds.get(name, 0.0) + t
 
 
+import functools as _functools
+
+import jax as _jax
+import jax.numpy as _jnp
+
+
+@_jax.jit
+def _threshold_plain(v, global_frac):
+    vmin = _jnp.min(v)
+    rng = _jnp.max(v) - vmin
+    return v > vmin + global_frac * rng
+
+
+@_functools.partial(_jax.jit, static_argnames=("boundary_dist",))
+def _threshold_with_brain(v, brain, global_frac, near_frac, boundary_dist):
+    vmin = _jnp.min(v)
+    rng = _jnp.max(v) - vmin
+    keep = v > vmin + global_frac * rng
+    dist = edt(brain != 0, band=int(boundary_dist) + 2)
+    near = ((v <= vmin + near_frac * rng) & (dist <= boundary_dist))
+    return keep & ~near
+
+
 def vesselness_stage(raw_volume, config: Optional[PipelineConfig] = None,
                      store=None, affine=None):
     """Raw MRA volume -> Frangi vesselness (on-device; replaces the
     reference's external SlicerVMTK preprocessing, README.md:37-65)."""
     from .ops.vesselness import frangi_vesselness
 
+    import jax.numpy as jnp
+
     cfg = (config or PipelineConfig()).vesselness
-    v = np.asarray(frangi_vesselness(
-        np.asarray(raw_volume, np.float32), sigmas=tuple(cfg.sigmas),
-        alpha=cfg.alpha, beta=cfg.beta, gamma=cfg.gamma, bright=cfg.bright))
+    # upload as f16 (raw MRA is ~12-bit; the wire is the bottleneck) and
+    # widen on device
+    raw16 = jnp.asarray(np.asarray(raw_volume, np.float16))
+    v = frangi_vesselness(
+        raw16.astype(jnp.float32),
+        sigmas=tuple(cfg.sigmas),
+        alpha=cfg.alpha, beta=cfg.beta, gamma=cfg.gamma, bright=cfg.bright)
     if store is not None:
-        store.save_nifti("vesselnessFiltered.nii.gz", v, affine=affine,
-                         astype=np.float32)
-    return v
+        store.save_nifti("vesselnessFiltered.nii.gz", np.asarray(v),
+                         affine=affine, astype=np.float32)
+    return v  # stays device-resident for the mask stage
 
 
 def generate_vessel_mask(vesselness, brain_mask=None,
@@ -67,20 +96,34 @@ def generate_vessel_mask(vesselness, brain_mask=None,
     threshold at ``global_threshold_fraction``; drop components smaller
     than ``min_component_size``.
     """
+    import jax
+    import jax.numpy as jnp
+
     cfg = (config or PipelineConfig()).segmentation
-    v = np.asarray(vesselness, dtype=np.float32).copy()
-    vmin, vmax = float(v.min()), float(v.max())
-    rng = vmax - vmin
 
-    if brain_mask is not None:
-        dist = np.asarray(edt(np.asarray(brain_mask) != 0,
-                              band=int(cfg.boundary_distance_voxels) + 2))
-        near = ((dist <= cfg.boundary_distance_voxels)
-                & (v <= vmin + cfg.near_boundary_fraction * rng))
-        v[near] = 0
+    @jax.jit
+    def _threshold(v, brain=None):
+        vmin = jnp.min(v)
+        vmax = jnp.max(v)
+        rng = vmax - vmin
+        keep = v > vmin + cfg.global_threshold_fraction * rng
+        if brain is not None:
+            dist = edt(brain != 0,
+                       band=int(cfg.boundary_distance_voxels) + 2)
+            near = ((dist <= cfg.boundary_distance_voxels)
+                    & (v <= vmin + cfg.near_boundary_fraction * rng))
+            keep = keep & ~near
+        return keep
 
-    v[v <= vmin + cfg.global_threshold_fraction * rng] = 0
-    mask = (v != 0).astype(np.uint8)
+    v = jnp.asarray(np.asarray(vesselness, np.float32))         if not isinstance(vesselness, jax.Array) else vesselness
+    brain = (jnp.asarray(np.asarray(brain_mask))
+             if brain_mask is not None else None)
+    keep = (_threshold(v, brain) if brain is not None
+            else _threshold(v))
+    # the mask crosses back to the host as packed bits (32x less wire
+    # than the f32 volume)
+    from .utils.transfer import mask_to_host
+    mask = mask_to_host(keep).astype(np.uint8)
     mask = drop_small_components(mask, threshold=cfg.min_component_size)
 
     if store is not None:
@@ -99,7 +142,24 @@ def refine_mask_region_grow(vesselness, seed_mask, config=None):
     return np.asarray(res.segmented_map).astype(np.uint8), res
 
 
-def skeletonize_stage(mask, config=None, store=None, affine=None):
+def compute_mask_edt(mask):
+    """Bounding-box-cropped EDT of the vessel mask (shared by
+    skeletonization ordering and branch radius recovery — the reference
+    also caches this array, manualCorrectionGUI.py:243-249).  Crosses to
+    the host as f16 (radii are O(10) voxels; the wire is the bottleneck).
+    """
+    from .ops.native import bounding_box
+    from .utils.transfer import f16_to_host
+
+    vv = np.asarray(mask) != 0
+    box = bounding_box(vv, margin=2)
+    dt = np.zeros(vv.shape, np.float32)
+    dt[box] = f16_to_host(edt(vv[box], band=32))
+    return dt
+
+
+def skeletonize_stage(mask, config=None, store=None, affine=None,
+                      distance_transform=None):
     """Vessel mask -> centerline skeleton (C4)."""
     cfg = (config or PipelineConfig()).skeleton
     backend = cfg.backend
@@ -109,7 +169,8 @@ def skeletonize_stage(mask, config=None, store=None, affine=None):
     if backend == "native":
         from .ops.native import skeletonize_native
         skel = skeletonize_native(mask,
-                                  preserve_endpoints=cfg.preserve_endpoints)
+                                  preserve_endpoints=cfg.preserve_endpoints,
+                                  distance_transform=distance_transform)
     else:
         from .ops.thinning import skeletonize
         skel = np.asarray(skeletonize(
@@ -121,7 +182,8 @@ def skeletonize_stage(mask, config=None, store=None, affine=None):
     return skel
 
 
-def graph_stage(skeleton, mask, config=None, store=None):
+def graph_stage(skeleton, mask, config=None, store=None,
+                distance_transform=None):
     """Skeleton -> simple-branch segments + attributed voxel graph
     (C5/C6/C7)."""
     from .graphs.branch_attrs import calculate_branch_info
@@ -130,7 +192,8 @@ def graph_stage(skeleton, mask, config=None, store=None):
     cfg = (config or PipelineConfig()).skeleton
     _, segments = skeleton_to_segments(
         skeleton, prune_min_length=cfg.prune_min_length)
-    G = calculate_branch_info(segments, segments, vessel_volume=mask)
+    G = calculate_branch_info(segments, segments, vessel_volume=mask,
+                              distance_transform=distance_transform)
     if store is not None:
         store.save_segment_list("segmentList.npz", segments)
         store.save_graphml("graphRepresentationCleanedWithEdgeInfo.graphml", G)
@@ -239,11 +302,17 @@ def run_pipeline(vesselness=None, brain_mask=None, seed_mask=None,
     timings.add("segmentation", time.perf_counter() - t0)
 
     t0 = time.perf_counter()
-    skeleton = skeletonize_stage(mask, config, store=store, affine=affine)
+    dt = compute_mask_edt(mask)
+    timings.add("edt", time.perf_counter() - t0)
+
+    t0 = time.perf_counter()
+    skeleton = skeletonize_stage(mask, config, store=store, affine=affine,
+                                 distance_transform=dt)
     timings.add("skeletonization", time.perf_counter() - t0)
 
     t0 = time.perf_counter()
-    G, segments = graph_stage(skeleton, mask, config, store=store)
+    G, segments = graph_stage(skeleton, mask, config, store=store,
+                              distance_transform=dt)
     timings.add("graph", time.perf_counter() - t0)
 
     if root is None:

@@ -79,7 +79,7 @@ def test_full_pipeline_on_phantom(tmp_path):
 
     # timings recorded per stage
     assert set(result["timings"]) == {
-        "segmentation", "skeletonization", "graph", "flow"}
+        "segmentation", "edt", "skeletonization", "graph", "flow"}
 
 
 def test_pipeline_from_raw_volume(tmp_path):
