@@ -150,3 +150,37 @@ def volume_per_partition(net: FlowNetwork, partitions=None):
             total += float(np.pi * r * r * length)
         out[name] = total
     return out
+
+
+def calculate_variable_bounds(net: FlowNetwork, node_pressure):
+    """Monotonic pressure lower bounds per node: a parent's pressure
+    cannot be below the max of its children's (lower bounds of) pressures
+    (calculateVariableBounds, fluidSimulation.py:1235-1254).
+
+    node_pressure supplies the fixed terminal values.  Returns
+    min_pressure[N] (NaN where no bound applies)."""
+    node_pressure = np.asarray(node_pressure, float)
+    deg = net.degree
+    depth = net.node_depth
+    min_pressure = np.full(net.num_nodes, np.nan)
+
+    children = [[] for _ in range(net.num_nodes)]
+    for e in range(net.num_edges):
+        h, t = int(net.heads[e]), int(net.tails[e])
+        if depth[t] > depth[h]:
+            children[h].append(t)
+        else:
+            children[t].append(h)
+
+    max_depth = int(depth.max())
+    for d in range(max_depth - 1, 0, -1):
+        for n in np.nonzero((depth == d) & (deg != 1))[0]:
+            vals = []
+            for c in children[n]:
+                v = (min_pressure[c] if not np.isnan(min_pressure[c])
+                     else node_pressure[c])
+                if not np.isnan(v):
+                    vals.append(v)
+            if vals:
+                min_pressure[n] = max(vals)
+    return min_pressure

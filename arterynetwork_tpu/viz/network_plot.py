@@ -179,3 +179,36 @@ def plot_tp_vs_path_length(net, node_pressure, partitions, path=None):
     if path:
         fig.savefig(path, dpi=110)
     return fig
+
+
+def plot_skeleton_overlay(segments, node_values=None, value_name="value",
+                          path=None, figsize=(10, 8)):
+    """3D centerline rendering with per-voxel value coloring — the
+    headless counterpart of the GL pressure/velocity overlays
+    (partitionCompartmentGUIDetail.py:549-595).
+
+    segments: voxel chains; node_values: optional {voxel: value} dict."""
+    from mpl_toolkits.mplot3d import Axes3D  # noqa: F401
+
+    fig = plt.figure(figsize=figsize)
+    ax = fig.add_subplot(projection="3d")
+    if node_values:
+        vals = np.asarray(list(node_values.values()), float)
+        norm = plt.Normalize(vals.min(), vals.max())
+        cmap = plt.get_cmap("jet")
+    for seg in segments:
+        arr = np.asarray(seg, float)
+        if node_values:
+            c = [node_values.get(tuple(int(x) for x in v), np.nan)
+                 for v in seg]
+            c = np.asarray(c, float)
+            fill = np.nanmean(c) if np.isfinite(c).any() else 0.0
+            c = np.where(np.isfinite(c), c, fill)
+            ax.scatter(arr[:, 0], arr[:, 1], arr[:, 2],
+                       c=cmap(norm(c)), s=4)
+        else:
+            ax.plot(arr[:, 0], arr[:, 1], arr[:, 2], "-", lw=1)
+    ax.set_title(value_name)
+    if path:
+        fig.savefig(path, dpi=110, bbox_inches="tight")
+    return fig

@@ -148,3 +148,22 @@ def test_run_longitudinal_batched():
     # later timesteps: narrower vessels, same pressure drops scaled up
     # by the volume-change rule -> flows decrease
     assert flows[-1].sum() < flows[0].sum()
+
+
+def test_calculate_variable_bounds():
+    """argsBoundTest parity (fluidSimulation.py:2711-2756): parent bounds
+    are the max over child (bounds or fixed pressures), monotone up the
+    tree."""
+    from arterynetwork_tpu.flow.boundary import calculate_variable_bounds
+
+    net = _net(seed=1, depth=5)
+    gt = create_ground_truth(net, option=2, rng=np.random.default_rng(1))
+    assert gt.success
+    bounds = calculate_variable_bounds(net, gt.pressure)
+    deg = net.degree
+    depth = net.node_depth
+    interior = np.nonzero((deg != 1) & (depth > 0)
+                          & (depth < depth.max()))[0]
+    assert np.isfinite(bounds[interior]).all()
+    # true interior pressures respect their lower bounds
+    assert (gt.pressure[interior] >= bounds[interior] - 1e-9).all()

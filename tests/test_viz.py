@@ -71,3 +71,14 @@ def test_helpers():
     fig2, ax2 = plt.subplots()
     box_plot_whiskers([np.random.default_rng(0).random(20)
                        for _ in range(3)], ax2)
+
+
+def test_skeleton_overlay(tmp_path):
+    from arterynetwork_tpu.viz.network_plot import plot_skeleton_overlay
+
+    segs = [[(i, 10, 10) for i in range(12)],
+            [(11, 10, 10), (12, 11, 11), (13, 12, 12)]]
+    values = {v: float(v[0]) for s in segs for v in s}
+    p = str(tmp_path / "overlay.png")
+    plot_skeleton_overlay(segs, values, value_name="pressure", path=p)
+    assert os.path.getsize(p) > 1000
