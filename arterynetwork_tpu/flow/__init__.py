@@ -10,6 +10,8 @@ from .physics import (
 from .residual import pack_velocity_pressure, residual_reference, validate_equations
 from .solvers import FlowSolution, solve_poiseuille, solve_pressure_newton
 from .system import FlowSystem, build_system
+from .adan import ADANModel, set_network_ck
+from .tree_solver import EliminationPlan, plan_elimination
 
 __all__ = [
     "GroundTruthResult",
@@ -28,4 +30,8 @@ __all__ = [
     "solve_pressure_newton",
     "FlowSystem",
     "build_system",
+    "ADANModel",
+    "set_network_ck",
+    "EliminationPlan",
+    "plan_elimination",
 ]

@@ -164,8 +164,10 @@ def skeletonize_stage(mask, config=None, store=None, affine=None,
     cfg = (config or PipelineConfig()).skeleton
     backend = cfg.backend
     if backend == "auto":
-        import jax
-        backend = "jax" if jax.default_backend() == "tpu" else "native"
+        # the sequential C++ worklist thinning is the fastest path at MRA
+        # scale on every backend today; the JAX subfield kernel is the
+        # device-resident alternative (and the one that shards)
+        backend = "native"
     if backend == "native":
         from .ops.native import skeletonize_native
         skel = skeletonize_native(mask,
