@@ -1,0 +1,4 @@
+from .artifacts import ArtifactStore
+from .nifti import load_volume, save_volume
+
+__all__ = ["ArtifactStore", "load_volume", "save_volume"]

@@ -1,0 +1,13 @@
+from .cc import connected_components, drop_small_components, label_volume
+from .edt import edt, edt_squared
+from .region_grow import RegionGrowResult, region_grow, region_grow_value_map
+from .thinning import simple_point_mask, skeletonize
+from .vesselness import frangi_vesselness
+
+__all__ = [
+    "connected_components", "drop_small_components", "label_volume",
+    "edt", "edt_squared",
+    "RegionGrowResult", "region_grow", "region_grow_value_map",
+    "simple_point_mask", "skeletonize",
+    "frangi_vesselness",
+]

@@ -16,10 +16,17 @@ EDT, skeletonization, full pipeline) are appended as they land.
 """
 
 import json
+import os
 import sys
 import time
 
 import numpy as np
+
+# persistent compilation cache (partial benefit on the remote-compile
+# backend, harmless elsewhere)
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                      os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                   ".jax_cache"))
 
 
 def _median_time(fn, n=5, warmup=2):

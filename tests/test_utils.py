@@ -1,0 +1,53 @@
+"""Utility module tests (profiling, debug gates, transfer helpers)."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from arterynetwork_tpu.utils import (
+    StageTimer,
+    assert_solution_valid,
+    check_finite,
+)
+from arterynetwork_tpu.utils.transfer import f16_to_host, mask_to_host
+
+
+def test_stage_timer():
+    t = StageTimer()
+    with t.stage("a"):
+        pass
+    with t.stage("a"):
+        pass
+    rep = t.report()
+    assert rep["a"]["calls"] == 2
+    assert rep["a"]["seconds"] >= 0
+
+
+def test_check_finite_raises_with_context():
+    bad = np.array([1.0, np.nan, 2.0])
+    with pytest.raises(FloatingPointError, match="pressure"):
+        check_finite(bad, "pressure")
+    check_finite(np.ones(3), "ok")
+
+
+def test_assert_solution_valid():
+    from arterynetwork_tpu.flow.solvers import FlowSolution
+
+    good = FlowSolution(pressure=jnp.ones(4), flow=jnp.ones(3),
+                        velocity=jnp.ones(3),
+                        residual_norm=jnp.asarray(1e-12),
+                        iterations=jnp.asarray(3))
+    assert_solution_valid(good)
+    bad = good._replace(residual_norm=jnp.asarray(1e-3))
+    with pytest.raises(ValueError, match="did not converge"):
+        assert_solution_valid(bad)
+
+
+def test_transfer_helpers_round_trip():
+    rng = np.random.default_rng(0)
+    mask = jnp.asarray(rng.random((13, 7, 9)) > 0.5)
+    np.testing.assert_array_equal(mask_to_host(mask), np.asarray(mask))
+    x = jnp.asarray(rng.random((5, 6)).astype(np.float32) * 30)
+    back = f16_to_host(x)
+    np.testing.assert_allclose(back, np.asarray(x), rtol=1e-3)
