@@ -80,3 +80,32 @@ def test_batched_flow_solve_sharded_over_dp():
     # row 0 is the unscaled ground truth
     np.testing.assert_allclose(out[0], gt.pressure, rtol=1e-8, atol=1e-8)
     assert np.isfinite(out).all()
+
+
+def test_sharded_vesselness_matches_single_device():
+    from arterynetwork_tpu.ops.vesselness import frangi_vesselness
+
+    rng = np.random.default_rng(1)
+    vol = rng.normal(0.1, 0.02, (32, 32, 24)).astype(np.float32)
+    x, y = np.mgrid[:32, :32]
+    tube = (x - 16) ** 2 + (y - 16) ** 2 <= 9
+    vol[tube] = 1.0
+    single = np.asarray(frangi_vesselness(jnp.asarray(vol), sigmas=(2.0,)))
+
+    mesh = make_volume_mesh()
+    sh = NamedSharding(mesh, P("sx", "sy", None))
+    vol_sh = jax.device_put(jnp.asarray(vol), sh)
+    out = np.asarray(frangi_vesselness(vol_sh, sigmas=(2.0,)))
+    np.testing.assert_allclose(out, single, atol=1e-5, rtol=1e-4)
+
+
+def test_sharded_edt_matches_single_device():
+    from arterynetwork_tpu.ops.edt import edt
+
+    rng = np.random.default_rng(2)
+    mask = (rng.random((32, 32, 24)) < 0.7).astype(np.uint8)
+    single = np.asarray(edt(jnp.asarray(mask), band=8))
+    mesh = make_volume_mesh()
+    sh = NamedSharding(mesh, P("sx", "sy", None))
+    out = np.asarray(edt(jax.device_put(jnp.asarray(mask), sh), band=8))
+    np.testing.assert_allclose(out, single, atol=1e-5)
