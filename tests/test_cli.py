@@ -1,0 +1,47 @@
+"""CLI end-to-end tests (python -m arterynetwork_tpu ...)."""
+
+import json
+import os
+
+import numpy as np
+
+from arterynetwork_tpu.__main__ import main
+from arterynetwork_tpu.io.nifti import load_volume, save_volume
+
+
+def _phantom(tmp_path):
+    shape = (36, 36, 48)
+    rng = np.random.default_rng(2)
+    raw = rng.normal(100.0, 3.0, shape).astype(np.float32)
+    x, y = np.mgrid[: shape[0], : shape[1]]
+    tube = (x - 18) ** 2 + (y - 18) ** 2 <= 9
+    for z in range(6, 42):
+        raw[:, :, z] += 120.0 * tube
+    p = str(tmp_path / "raw.nii.gz")
+    save_volume(raw, np.eye(4), p, astype=np.float32)
+    return p
+
+
+def test_cli_pipeline(tmp_path, capsys):
+    raw = _phantom(tmp_path)
+    out = str(tmp_path / "out")
+    main(["pipeline", raw, "--out", out, "--raw", "--threshold", "0.3",
+          "--skeleton-backend", "native"])
+    summary = json.loads(capsys.readouterr().out)
+    assert summary["segments"] >= 1
+    assert summary["network_edges"] >= 1
+    assert os.path.exists(os.path.join(out, "fluidSimulationResult.pkl"))
+
+
+def test_cli_vesselness(tmp_path, capsys):
+    raw = _phantom(tmp_path)
+    out = str(tmp_path / "vess.nii.gz")
+    main(["vesselness", raw, out, "--sigmas", "2.0,3.0"])
+    v, _ = load_volume(out)
+    assert v.max() > 0.3
+
+
+def test_cli_info(capsys):
+    main(["info"])
+    info = json.loads(capsys.readouterr().out)
+    assert "devices" in info and info["backend"] in ("cpu", "tpu")
