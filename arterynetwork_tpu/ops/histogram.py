@@ -11,8 +11,15 @@ The region grower needs, per iteration, intensity histograms of the inner
   alternatives — jnp.nonzero + gather — are sort-bound and slower).
 * **CPU/GPU** — plain scatter-add, which is fast there and bit-exact.
 
-Counts are exact: one-hot entries and mask entries are 0/1 (exact in
-bfloat16) and accumulation happens in float32.
+Counts from the chunked-matmul path are exact: one-hot entries and mask
+entries are 0/1 (exact in bfloat16), each per-chunk partial is an integer
+<= chunk (131072 < 2^24, exact in f32), and the cross-chunk accumulation
+runs in int32 — so bins beyond 2^24 (e.g. the background bin of a
+512x512x170 volume, ~45M voxels) stay exact until the final cast back to
+f32 (correctly rounded, <=0.5 ulp ~ 2 counts at 45M).  The Pallas kernels
+accumulate their final lane reduction in f32, so they are exact only
+below 2^24 per bin; the region grower's decision quantities are
+ratio-normalized and insensitive at that scale.
 """
 
 from __future__ import annotations
@@ -53,11 +60,13 @@ def _masked_histograms_matmul(bin_idx_flat, masks_flat, num_bins,
             mc.astype(jnp.bfloat16), onehot,
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
-        return acc + part, None
+        # per-chunk partials are integers <= chunk (exact in f32);
+        # cross-chunk accumulation in int32 keeps bins > 2^24 exact
+        return acc + part.astype(jnp.int32), None
 
-    acc0 = jnp.zeros((K, num_bins), jnp.float32)
+    acc0 = jnp.zeros((K, num_bins), jnp.int32)
     acc, _ = jax.lax.scan(step, acc0, (idx_c, m_c))
-    return acc
+    return acc.astype(jnp.float32)
 
 
 def masked_histograms(bin_idx_flat, masks_flat, num_bins: int = 256):

@@ -88,13 +88,19 @@ def simple_point_mask(mask):
     """Full-grid simple-point predicate (26, 6 topology). bool[*vol]."""
     planes = _neighbor_planes(mask)
 
-    # T26 == 1: one 26-component of foreground in N26
+    # T26 == 1: one 26-component of foreground in N26.  n_rounds=8 is the
+    # exact worst case for min-label propagation on the 26-cell
+    # 26-adjacency graph (brute-forced over all configurations).
     n_fg, _ = _count_components_planes(planes, _ADJ26)
     t26_ok = n_fg == 1
 
-    # T6 == 1: one 6-component of background in N18 touching a face cell
+    # T6 == 1: one 6-component of background in N18 touching a face cell.
+    # The worst case for the 18-cell 6-adjacency graph is 10 rounds
+    # (brute-forced over all 2^18 configs); fewer rounds misclassify
+    # ~0.35% of neighborhoods as non-simple vs the C++ oracle and leave
+    # the skeleton under-thinned.
     bg18 = ~planes[jnp.asarray(_N18_IDX)]
-    n_bg, labels = _count_components_planes(bg18, _ADJ6_18, n_rounds=6)
+    n_bg, labels = _count_components_planes(bg18, _ADJ6_18, n_rounds=10)
     C18 = len(_N18_IDX)
     cell_ids = jnp.arange(C18, dtype=jnp.int8).reshape(
         (C18,) + (1,) * (mask.ndim))

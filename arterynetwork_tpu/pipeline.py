@@ -101,25 +101,14 @@ def generate_vessel_mask(vesselness, brain_mask=None,
 
     cfg = (config or PipelineConfig()).segmentation
 
-    @jax.jit
-    def _threshold(v, brain=None):
-        vmin = jnp.min(v)
-        vmax = jnp.max(v)
-        rng = vmax - vmin
-        keep = v > vmin + cfg.global_threshold_fraction * rng
-        if brain is not None:
-            dist = edt(brain != 0,
-                       band=int(cfg.boundary_distance_voxels) + 2)
-            near = ((dist <= cfg.boundary_distance_voxels)
-                    & (v <= vmin + cfg.near_boundary_fraction * rng))
-            keep = keep & ~near
-        return keep
-
     v = jnp.asarray(np.asarray(vesselness, np.float32))         if not isinstance(vesselness, jax.Array) else vesselness
-    brain = (jnp.asarray(np.asarray(brain_mask))
-             if brain_mask is not None else None)
-    keep = (_threshold(v, brain) if brain is not None
-            else _threshold(v))
+    if brain_mask is not None:
+        brain = jnp.asarray(np.asarray(brain_mask))
+        keep = _threshold_with_brain(
+            v, brain, cfg.global_threshold_fraction,
+            cfg.near_boundary_fraction, int(cfg.boundary_distance_voxels))
+    else:
+        keep = _threshold_plain(v, cfg.global_threshold_fraction)
     # the mask crosses back to the host as packed bits (32x less wire
     # than the f32 volume)
     from .utils.transfer import mask_to_host
