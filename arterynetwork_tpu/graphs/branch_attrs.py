@@ -38,6 +38,132 @@ def _path_metrics(segment):
     return path_length, euclidean, tortuosity
 
 
+def compute_branch_attrs(segments_old: Sequence[Sequence],
+                         segments_new: Sequence[Sequence],
+                         distance_transform) -> List[Dict]:
+    """Per-branch attribute dicts for ``segments_new`` (vectorized).
+
+    Same semantics as the reference's ``calculateBranchInfo``
+    (manualCorrectionGUI.py:215-415) but computed with array ops: radii
+    are fancy-indexed from the EDT in one shot, interior/link membership
+    comes from end-count degrees instead of per-voxel graph probes, and
+    per-segment means/sigmas reduce over a segment-id vector.
+
+    Returns ``attrs[idx]`` = dict with pathLength / eculideanLength /
+    tortuosity / voxelLength / meanRadius / segmentIndex (+ sigma when
+    measured from interior voxels).
+    """
+    dt = np.asarray(distance_transform)
+    shape = dt.shape
+
+    segs = [np.asarray(seg, dtype=np.int64) for seg in segments_new]
+    n_seg = len(segs)
+
+    # original-skeleton membership (the reference's indexVolume,
+    # manualCorrectionGUI.py:252-256) as a sorted key set
+    if segments_old is segments_new:
+        old_keys = None  # membership is trivially true
+    else:
+        olds = [np.asarray(s, np.int64) for s in segments_old if len(s)]
+        old_keys = (np.unique(_keys(np.concatenate(olds), shape))
+                    if olds else np.zeros(0, np.int64))
+
+    # voxel degree = number of incident (prev,next) slots across chains:
+    # interiors contribute 2, chain ends 1 each
+    all_coords = (np.concatenate(segs) if segs
+                  else np.zeros((0, 3), np.int64))
+    keys_all = _keys(all_coords, shape)
+    uniq, inv = np.unique(keys_all, return_inverse=True)
+    slot = np.ones(len(keys_all), np.int64) * 2
+    ofs = 0
+    for c in segs:
+        slot[ofs] = 1
+        slot[ofs + len(c) - 1] = 1
+        ofs += len(c)
+    degree = np.bincount(inv, weights=slot, minlength=len(uniq))
+
+    radii_all = dt[tuple(all_coords.T)] if len(all_coords) else np.zeros(0)
+    deg_all = degree[inv]
+    if old_keys is None:
+        in_old = np.ones(len(keys_all), bool)
+    else:
+        pos = np.searchsorted(old_keys, keys_all)
+        pos = np.minimum(pos, max(len(old_keys) - 1, 0))
+        in_old = (old_keys[pos] == keys_all) if len(old_keys) else \
+            np.zeros(len(keys_all), bool)
+
+    attrs: List[Dict] = [None] * n_seg
+    short_or_new: List[int] = []
+    ofs = 0
+    for idx, c in enumerate(segs):
+        L = len(c)
+        sl = slice(ofs, ofs + L)
+        ofs += L
+        if L == 2:
+            short_or_new.append(idx)
+            continue
+        link = (deg_all[sl] == 2) & in_old[sl]
+        link[0] = link[-1] = False  # ends are junction/tip slots
+        r = radii_all[sl]
+        lr = r[link]
+        if lr.size == 0:
+            short_or_new.append(idx)
+            continue
+        mean_radius = float(lr.mean())
+        sigma = float(lr.std())
+        if mean_radius == 0:
+            nz = r[r != 0]
+            if nz.size:
+                mean_radius = float(nz.mean())
+                sigma = float(nz.std())
+        d = np.diff(c.astype(float), axis=0)
+        pl = float(np.sqrt((d * d).sum(axis=1)).sum())
+        el = float(norm(c[-1].astype(float) - c[0].astype(float)))
+        attrs[idx] = dict(pathLength=pl, eculideanLength=el,
+                          tortuosity=pl / el if el > 0 else 1.0,
+                          voxelLength=int(L), meanRadius=mean_radius,
+                          sigma=sigma, segmentIndex=int(idx))
+
+    # 2-voxel / brand-new branches: average the neighbor branches' radii
+    # (manualCorrectionGUI.py:315-374).  Endpoint -> incident measured
+    # branches via the chain-end map.
+    if short_or_new:
+        end_map: Dict[int, List[int]] = {}
+        ofs = 0
+        for idx, c in enumerate(segs):
+            for j in (ofs, ofs + len(c) - 1):
+                end_map.setdefault(int(inv[j]), []).append(idx)
+            ofs += len(c)
+
+        def _end_radius(end_key, self_idx):
+            rs = [attrs[k]["meanRadius"] for k in end_map.get(end_key, [])
+                  if k != self_idx and attrs[k] is not None]
+            return float(np.mean(rs)) if rs else 0.0
+
+        ofs_of = np.cumsum([0] + [len(c) for c in segs])
+        for idx in short_or_new:
+            c = segs[idx]
+            h = _end_radius(int(inv[ofs_of[idx]]), idx)
+            t = _end_radius(int(inv[ofs_of[idx] + len(c) - 1]), idx)
+            mean_radius = (h + t) / 2.0 if (h and t) else (h or t or 0.0)
+            el = float(norm(c[-1].astype(float) - c[0].astype(float)))
+            if len(c) > 2:
+                d = np.diff(c.astype(float), axis=0)
+                pl = float(np.sqrt((d * d).sum(axis=1)).sum())
+            else:
+                pl = el
+            attrs[idx] = dict(pathLength=pl, eculideanLength=el,
+                              tortuosity=pl / el if el > 0 else 1.0,
+                              voxelLength=int(len(c)),
+                              meanRadius=mean_radius, segmentIndex=int(idx))
+    return attrs
+
+
+def _keys(coords, shape):
+    c = np.asarray(coords, np.int64)
+    return (c[:, 0] * shape[1] + c[:, 1]) * shape[2] + c[:, 2]
+
+
 def calculate_branch_info(segments_old: Sequence[Sequence],
                           segments_new: Sequence[Sequence],
                           vessel_volume=None,
@@ -59,60 +185,19 @@ def calculate_branch_info(segments_old: Sequence[Sequence],
         distance_transform = dt_full
     dt = np.asarray(distance_transform)
 
-    # index volume of the original skeleton (first segment index is 1,
-    # manualCorrectionGUI.py:252-256)
-    index_volume = np.zeros(dt.shape, dtype=np.int32)
-    for i, seg in enumerate(segments_old):
-        c = np.asarray(seg, dtype=np.int64)
-        index_volume[tuple(c.T)] = i + 1
+    attrs = compute_branch_attrs(segments_old, segments_new, dt)
 
     G = nx.Graph()
-    for seg in segments_new:
-        nx.add_path(G, [tuple(v) for v in seg])
-
-    short, new = [], []
     for idx, seg in enumerate(segments_new):
-        seg = [tuple(int(x) for x in v) for v in seg]
-        if len(seg) == 2:
-            short.append((idx, seg))
-            continue
-        link = [v for v in seg
-                if G.degree(v) == 2 and index_volume[v] != 0]
-        if not link:
-            new.append((idx, seg))
-            continue
-        coords = np.asarray(link, dtype=np.int64)
-        radii = dt[tuple(coords.T)]
-        mean_radius = float(radii.mean())
-        sigma = float(radii.std())
-        if mean_radius == 0:
-            allr = dt[tuple(np.asarray(seg, np.int64).T)]
-            nz = allr[allr != 0]
-            if nz.size:
-                mean_radius = float(nz.mean())
-                sigma = float(nz.std())
-        pl, el, tort = _path_metrics(seg)
-        _set_branch(G, seg, idx, pl, el, tort, mean_radius, sigma=sigma)
+        segt = [tuple(int(x) for x in v) for v in seg]
+        G.add_edges_from(zip(segt[:-1], segt[1:]), **attrs[idx])
 
-    def _neighbor_radius(seg):
-        head, tail = seg[0], seg[-1]
-        hs = [G[head][v]["meanRadius"] for v in G.neighbors(head)
-              if v != tail and "meanRadius" in G[head][v]]
-        ts = [G[tail][v]["meanRadius"] for v in G.neighbors(tail)
-              if v != head and "meanRadius" in G[tail][v]]
-        h = float(np.mean(hs)) if hs else 0.0
-        t = float(np.mean(ts)) if ts else 0.0
-        if h and t:
-            return (h + t) / 2.0
-        return h or t or 0.0
-
-    for idx, seg in short + new:
-        mean_radius = _neighbor_radius(seg)
-        pl = float(norm(np.asarray(seg[0], float) - np.asarray(seg[-1], float)))
-        _set_branch(G, seg, idx, pl, pl, 1.0, mean_radius, sigma=None)
-
-    for node in G.nodes():
-        G.nodes[node]["radius"] = float(dt[node])
+    coords = np.asarray([n for n in G.nodes()], np.int64)
+    if len(coords):
+        radii = dt[tuple(coords.T)].astype(float)
+        nx.set_node_attributes(
+            G, {tuple(c): float(r)
+                for c, r in zip(coords.tolist(), radii)}, "radius")
     return G
 
 

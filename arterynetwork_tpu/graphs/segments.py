@@ -31,6 +31,165 @@ _NEIGHBOR_OFFSETS = [(dz, dy, dx)
                      for dx in (-1, 0, 1)
                      if (dz, dy, dx) != (0, 0, 0)]
 
+# one representative per neighbor pair: lexicographically positive offsets
+_HALF_OFFSETS = [o for o in _NEIGHBOR_OFFSETS if o > (0, 0, 0)]
+
+
+# ---------------------------------------------------------------------------
+# Vectorized core: voxel chains from edge arrays (no per-voxel dict ops).
+#
+# At a realistic MRA scale the skeleton has ~5e4 voxels; building a
+# networkx graph (26 hash probes per voxel) and walking it with dict
+# operations is seconds-to-minutes of pure Python.  Instead edges are
+# extracted with sorted-key lookups (numpy), degrees with bincount, and
+# chains walked over CSR adjacency converted to flat Python lists
+# (~50 ns/step instead of ~10 us/step for nx).
+# ---------------------------------------------------------------------------
+
+
+def _voxel_keys(coords: np.ndarray, shape) -> np.ndarray:
+    c = np.asarray(coords, dtype=np.int64)
+    return (c[:, 0] * shape[1] + c[:, 1]) * shape[2] + c[:, 2]
+
+
+def _keys_to_coords(keys: np.ndarray, shape) -> np.ndarray:
+    keys = np.asarray(keys, dtype=np.int64)
+    x = keys % shape[2]
+    zy = keys // shape[2]
+    y = zy % shape[1]
+    z = zy // shape[1]
+    return np.stack([z, y, x], axis=1)
+
+
+def _edges_from_skeleton(skeleton) -> Tuple[np.ndarray, np.ndarray, Tuple]:
+    """All 26-adjacency edges of a skeleton mask as (a_keys, b_keys).
+
+    One representative per undirected pair.  Sparse: one argwhere pass
+    over the volume, then 13 sorted-key membership checks over the voxel
+    list (no full-volume shift-AND per offset)."""
+    skel = np.asarray(skeleton) != 0
+    shape = skel.shape
+    coords = np.argwhere(skel)
+    keys = _voxel_keys(coords, shape)
+    order = np.argsort(keys)
+    skeys = keys[order]
+    a_out, b_out = [], []
+    for off in _HALF_OFFSETS:
+        nc = coords + np.asarray(off, coords.dtype)
+        valid = ((nc >= 0).all(axis=1)
+                 & (nc[:, 0] < shape[0]) & (nc[:, 1] < shape[1])
+                 & (nc[:, 2] < shape[2]))
+        nk = _voxel_keys(nc[valid], shape)
+        pos = np.searchsorted(skeys, nk)
+        pos = np.minimum(pos, len(skeys) - 1) if len(skeys) else pos
+        hit = (skeys[pos] == nk) if len(skeys) else np.zeros(0, bool)
+        a_out.append(keys[valid][hit])
+        b_out.append(nk[hit])
+    if not a_out or sum(a.size for a in a_out) == 0:
+        return (np.zeros(0, np.int64), np.zeros(0, np.int64), shape)
+    return np.concatenate(a_out), np.concatenate(b_out), shape
+
+
+def _edges_from_segments(segment_list, dedupe: bool = True):
+    """Consecutive-pair edges of voxel chains as canonical key pairs."""
+    shapes_max = np.zeros(3, np.int64)
+    pairs_a, pairs_b = [], []
+    for seg in segment_list:
+        c = np.asarray(seg, dtype=np.int64)
+        if c.ndim != 2 or len(c) < 2:
+            continue
+        shapes_max = np.maximum(shapes_max, c.max(axis=0))
+        pairs_a.append(c[:-1])
+        pairs_b.append(c[1:])
+    if not pairs_a:
+        return np.zeros(0, np.int64), np.zeros(0, np.int64), (1, 1, 1)
+    shape = tuple(int(s) + 2 for s in shapes_max)
+    a = _voxel_keys(np.concatenate(pairs_a), shape)
+    b = _voxel_keys(np.concatenate(pairs_b), shape)
+    if dedupe:
+        lo, hi = np.minimum(a, b), np.maximum(a, b)
+        uniq = np.unique(np.stack([lo, hi], axis=1), axis=0)
+        a, b = uniq[:, 0], uniq[:, 1]
+    return a, b, shape
+
+
+def _chains_from_edges(a_keys: np.ndarray, b_keys: np.ndarray):
+    """Partition an undirected voxel graph (as edge key arrays) into
+    simple chains.  Returns (chains, uniq_keys): chains are int arrays of
+    indices into uniq_keys; chains break at vertices with degree != 2;
+    pure cycles come back closed (first == last)."""
+    E = len(a_keys)
+    if E == 0:
+        return [], np.zeros(0, np.int64)
+    uniq = np.unique(np.concatenate([a_keys, b_keys]))
+    a = np.searchsorted(uniq, a_keys)
+    b = np.searchsorted(uniq, b_keys)
+    n = len(uniq)
+    deg = (np.bincount(a, minlength=n)
+           + np.bincount(b, minlength=n)).astype(np.int64)
+
+    src = np.concatenate([a, b])
+    dst = np.concatenate([b, a])
+    eid = np.concatenate([np.arange(E), np.arange(E)])
+    order = np.argsort(src, kind="stable")
+    dst_s = dst[order]
+    eid_s = eid[order]
+    indptr = np.zeros(n + 1, np.int64)
+    np.cumsum(np.bincount(src, minlength=n), out=indptr[1:])
+
+    # flat Python lists: ~100x faster element access than numpy scalars
+    indptr_l = indptr.tolist()
+    dst_l = dst_s.tolist()
+    eid_l = eid_s.tolist()
+    deg_l = deg.tolist()
+    visited = bytearray(E)
+    chains = []
+
+    def walk(prev, cur, chain):
+        while deg_l[cur] == 2:
+            q = indptr_l[cur]
+            if dst_l[q] == prev:
+                q += 1
+            if visited[eid_l[q]]:
+                break
+            visited[eid_l[q]] = 1
+            nxt = dst_l[q]
+            chain.append(nxt)
+            prev, cur = cur, nxt
+        return chain
+
+    for s in np.nonzero(deg != 2)[0].tolist():
+        for p in range(indptr_l[s], indptr_l[s + 1]):
+            if visited[eid_l[p]]:
+                continue
+            visited[eid_l[p]] = 1
+            first = dst_l[p]
+            chains.append(walk(s, first, [s, first]))
+
+    # pure cycles: remaining unvisited edges form degree-2 loops
+    a_l = a.tolist()
+    b_l = b.tolist()
+    for e0 in range(E):
+        if visited[e0]:
+            continue
+        visited[e0] = 1
+        chains.append(walk(a_l[e0], b_l[e0], [a_l[e0], b_l[e0]]))
+
+    return chains, uniq
+
+
+def _chains_to_tuple_segments(chains, uniq_keys, shape):
+    coords = _keys_to_coords(uniq_keys, shape)
+    coord_tuples = [tuple(c) for c in coords.tolist()]
+    return [[coord_tuples[i] for i in chain] for chain in chains]
+
+
+def extract_segments_fast(skeleton) -> List[List[Voxel]]:
+    """Vectorized equivalent of ``extract_segments(skeleton_to_voxel_graph(s))``."""
+    a, b, shape = _edges_from_skeleton(skeleton)
+    chains, uniq = _chains_from_edges(a, b)
+    return _chains_to_tuple_segments(chains, uniq, shape)
+
 
 def skeleton_to_voxel_graph(skeleton) -> nx.Graph:
     """26-adjacency graph over skeleton voxels (nodes are voxel tuples)."""
@@ -104,8 +263,8 @@ def segments_to_graph(segments: Sequence[Sequence[Voxel]]) -> nx.Graph:
     """Voxel graph with per-edge ``segmentIndex`` (skeletonization.py:765-769)."""
     G = nx.Graph()
     for idx, seg in enumerate(segments):
-        for a, b in zip(seg[:-1], seg[1:]):
-            G.add_edge(tuple(a), tuple(b), segmentIndex=idx)
+        segt = [tuple(v) for v in seg]
+        G.add_edges_from(zip(segt[:-1], segt[1:]), segmentIndex=idx)
     return G
 
 
@@ -131,12 +290,9 @@ def process_segments(segment_list: Sequence[Sequence[Voxel]]):
     Returns (G, segments, error_segments); error_segments is always empty
     here because re-extraction cannot produce invalid branches.
     """
-    union = nx.Graph()
-    for seg in segment_list:
-        seg = [tuple(int(c) for c in v) for v in seg]
-        for a, b in zip(seg[:-1], seg[1:]):
-            union.add_edge(a, b)
-    segments = extract_segments(union)
+    a, b, shape = _edges_from_segments(segment_list)
+    chains, uniq = _chains_from_edges(a, b)
+    segments = _chains_to_tuple_segments(chains, uniq, shape)
     G = segments_to_graph(segments)
     error_segments: List[List[Voxel]] = []
     return G, segments, error_segments
@@ -153,34 +309,44 @@ def prune_spurs(segments: Sequence[Sequence[Voxel]],
     thinning.  A terminal branch is dropped when it has <= min_length
     voxels; junction voxels shared with other branches are kept.
     """
-    segs = [list(map(tuple, s)) for s in segments]
+    segs = [[tuple(int(x) for x in v) for v in s] for s in segments]
     for _ in range(iterations):
-        G = segments_to_graph(segs)
+        if not segs:
+            break
+        # endpoint degree = number of incident chain ends (the chains
+        # partition the edges, so a breakpoint's voxel-graph degree equals
+        # its end count; a closed cycle contributes 2 at its seam)
+        ends = [v for s in segs for v in (s[0], s[-1])]
+        end_count: Dict[Voxel, int] = {}
+        for v in ends:
+            end_count[v] = end_count.get(v, 0) + 1
         keep = []
         changed = False
         for seg in segs:
-            is_terminal = G.degree(seg[0]) == 1 or G.degree(seg[-1]) == 1
+            is_terminal = (end_count[seg[0]] == 1
+                           or end_count[seg[-1]] == 1)
             if is_terminal and len(seg) <= min_length:
                 changed = True
                 continue
             keep.append(seg)
         if not changed:
             break
-        union = nx.Graph()
-        for seg in keep:
-            for a, b in zip(seg[:-1], seg[1:]):
-                union.add_edge(a, b)
-        segs = extract_segments(union)
+        a, b, shape = _edges_from_segments(keep)
+        chains, uniq = _chains_from_edges(a, b)
+        segs = _chains_to_tuple_segments(chains, uniq, shape)
     return segs
 
 
-def skeleton_to_segments(skeleton, prune_min_length: int = 0):
+def skeleton_to_segments(skeleton, prune_min_length: int = 0,
+                         build_graph: bool = True):
     """Skeleton mask -> (G, segmentList): the output contract of the
     reference's skeletonization stage (graphRepresentation + segmentList,
-    skeletonization.py:745-790)."""
-    G0 = skeleton_to_voxel_graph(skeleton)
-    segments = extract_segments(G0)
+    skeletonization.py:745-790).
+
+    ``build_graph=False`` skips the networkx voxel graph (returns
+    ``(None, segments)``) for callers on the array fast path."""
+    segments = extract_segments_fast(skeleton)
     if prune_min_length > 0:
         segments = prune_spurs(segments, min_length=prune_min_length)
-    G = segments_to_graph(segments)
+    G = segments_to_graph(segments) if build_graph else None
     return G, segments

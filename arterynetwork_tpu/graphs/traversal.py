@@ -22,41 +22,61 @@ from numpy.linalg import norm
 
 
 def partition_bfs(G: nx.Graph, initial_voxels, boundary_voxels):
-    """Annotate G in place; returns (G, visited_voxels, segment_index_list)."""
+    """Annotate G in place; returns (G, visited_voxels, segment_index_list).
+
+    First discovery wins: a voxel reached by two same-wave parents keeps
+    the first parent's depthLevel/pathDistance and enters the next pool
+    once.  (The reference guards re-discovery with ``depthVoxel``, which
+    is only set when a voxel is *processed*, so same-wave multi-parent
+    hits duplicate pool entries that multiply at every junction cluster —
+    harmless on its hand-cleaned graphs, exponential on raw 26-adjacency
+    skeletons.  When no same-wave duplicate exists the two semantics are
+    identical.)
+    """
     initial = [tuple(v) for v in initial_voxels]
     boundary = set(tuple(v) for v in boundary_voxels)
 
-    visited: List[Tuple] = list(initial)
-    depth_level = 0
+    depth_level_of: Dict[Tuple, int] = {}
+    path_dist_of: Dict[Tuple, float] = {}
+    depth_voxel_of: Dict[Tuple, int] = {}
     for v in initial:
-        G.nodes[v]["depthLevel"] = depth_level
-        G.nodes[v]["pathDistance"] = 0.0
+        depth_level_of[v] = 0
+        path_dist_of[v] = 0.0
 
+    visited: List[Tuple] = list(initial)
+    seen = set(initial)
     pool = list(initial)
     segment_indices: List[int] = []
     depth_voxel = 0
     while pool:
         nxt = []
         for cur in pool:
-            G.nodes[cur]["depthVoxel"] = depth_voxel
-            new = [v for v in G.neighbors(cur)
-                   if v not in boundary and "depthVoxel" not in G.nodes[v]]
-            for v in new:
-                G.nodes[v]["depthLevel"] = (
-                    G.nodes[cur]["depthLevel"] if G.degree(v) == 2
-                    else G.nodes[cur]["depthLevel"] + 1)
-                step = norm(np.asarray(v, float) - np.asarray(cur, float))
-                G.nodes[v]["pathDistance"] = float(
-                    G.nodes[cur]["pathDistance"] + step)
-                if G.degree(v) >= 3 or G.degree(v) == 1:
+            depth_voxel_of[cur] = depth_voxel
+            cur_level = depth_level_of[cur]
+            cur_dist = path_dist_of[cur]
+            cz, cy, cx = cur
+            for v in G.neighbors(cur):
+                if v in boundary or v in seen:
+                    continue
+                seen.add(v)
+                deg = G.degree(v)
+                depth_level_of[v] = (cur_level if deg == 2
+                                     else cur_level + 1)
+                dz, dy, dx = v[0] - cz, v[1] - cy, v[2] - cx
+                path_dist_of[v] = cur_dist + (dz * dz + dy * dy
+                                              + dx * dx) ** 0.5
+                if deg >= 3 or deg == 1:
                     seg = G[cur][v].get("segmentIndex")
                     if seg is not None:
                         segment_indices.append(seg)
-            nxt += new
-            visited += new
+                nxt.append(v)
+                visited.append(v)
         pool = nxt
         depth_voxel += 1
 
+    nx.set_node_attributes(G, depth_level_of, "depthLevel")
+    nx.set_node_attributes(G, path_dist_of, "pathDistance")
+    nx.set_node_attributes(G, depth_voxel_of, "depthVoxel")
     return G, visited, segment_indices
 
 
@@ -109,17 +129,11 @@ def reduced_to_flow_network(DG: nx.DiGraph, root, spacing):
     from .network import FlowNetwork, orient_edges_by_depth
 
     nodes = list(DG.nodes())
-    max_depth = max(DG.nodes[n]["depthLevel"] for n in nodes)
-    node_of: Dict = {}
-    depth_arr = []
-    idx = 0
-    for d in range(int(max_depth) + 1):
-        for n in nodes:
-            if DG.nodes[n]["depthLevel"] == d:
-                node_of[n] = idx
-                depth_arr.append(d)
-                idx += 1
-    N = idx
+    depths = np.asarray([DG.nodes[n]["depthLevel"] for n in nodes])
+    order = np.argsort(depths, kind="stable")  # node order kept within depth
+    node_of: Dict = {nodes[i]: k for k, i in enumerate(order.tolist())}
+    depth_arr = depths[order].tolist()
+    N = len(nodes)
 
     # edge depth = min endpoint depth; index edges by increasing depth
     edges = list(DG.edges())

@@ -106,22 +106,26 @@ def label_volume(volume, min_size: int = 1, connectivity: int = 3,
     volume, return (labeled, labelResult) with components smaller than
     ``min_size`` excluded from labelResult.
 
-    backend="host" uses scipy's C labeling (the pointer-jumping device
-    kernel relies on gathers, which run ~8 us/element on this TPU — CC is
-    a host-side op at MRA scale, exactly as in the reference); "device"
-    forces the JAX kernel; "auto" picks host on TPU.
+    backend="host" uses the native C++ flood fill (ops/native.py; the
+    pointer-jumping device kernel relies on gathers, which run ~8
+    us/element on this TPU — CC is a host-side op at MRA scale, exactly
+    as in the reference); "device" forces the JAX kernel; "auto" picks
+    host on TPU.
     """
     import jax
 
     if backend == "auto":
         backend = "host" if jax.default_backend() == "tpu" else "device"
     if backend == "host":
-        from scipy import ndimage
-        structure = ndimage.generate_binary_structure(
-            3, 3 if connectivity >= 2 else 1)
-        labeled, _ = ndimage.label(np.asarray(volume) != 0,
-                                   structure=structure)
-        labeled = labeled.astype(np.int32)
+        if connectivity >= 2:
+            from .native import label_components_native
+            labeled, _ = label_components_native(volume)
+        else:
+            from scipy import ndimage
+            structure = ndimage.generate_binary_structure(3, 1)
+            labeled, _ = ndimage.label(np.asarray(volume) != 0,
+                                       structure=structure)
+            labeled = labeled.astype(np.int32)
         counts = np.bincount(labeled.ravel())
         label_result = [(int(l), int(c)) for l, c in enumerate(counts)]
     else:
@@ -134,12 +138,18 @@ def label_volume(volume, min_size: int = 1, connectivity: int = 3,
 def drop_small_components(volume, threshold: int = 150, connectivity: int = 3):
     """Zero out connected components with <= threshold voxels (reference
     main(), generateVesselVolume.py:195-199)."""
-    labeled, label_result = label_volume(volume, connectivity=connectivity)
+    vol = np.asarray(volume)
+    if (connectivity >= 2 and vol.dtype in (np.bool_, np.uint8)
+            and vol.max() <= 1):
+        # binary volume: single fused native pass (label + sizes + zero)
+        from .native import drop_small_components_native
+        return drop_small_components_native(vol, threshold).astype(vol.dtype)
+    labeled, label_result = label_volume(vol, connectivity=connectivity)
     sizes = np.zeros(max(l for l, _ in label_result) + 1, np.int64)
     for lab, size in label_result:
         sizes[lab] = size
     keep = sizes > threshold
     keep[0] = False
-    out = np.asarray(volume).copy()
-    out[~keep[np.asarray(labeled)]] = 0
+    out = vol.copy()
+    out[~keep[labeled]] = 0
     return out

@@ -16,15 +16,22 @@ import numpy as np
 
 _NATIVE_DIR = os.path.join(os.path.dirname(os.path.dirname(
     os.path.dirname(os.path.abspath(__file__)))), "native")
-_SRC = os.path.join(_NATIVE_DIR, "thinning.cpp")
-_SO = os.path.join(_NATIVE_DIR, "libthinning.so")
+_SRCS = [os.path.join(_NATIVE_DIR, "thinning.cpp"),
+         os.path.join(_NATIVE_DIR, "volume_ops.cpp")]
+_SO = os.path.join(_NATIVE_DIR, "libnative.so")
 
 _lib = None
 
 
 def _build():
-    cmd = ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", _SRC, "-o", _SO]
-    subprocess.run(cmd, check=True, capture_output=True)
+    cmd = ["g++", "-O3", "-fopenmp", "-shared", "-fPIC", "-std=c++17",
+           *_SRCS, "-o", _SO]
+    try:
+        subprocess.run(cmd, check=True, capture_output=True)
+    except subprocess.CalledProcessError:
+        # toolchains without OpenMP still get the (serial) kernels
+        cmd = [c for c in cmd if c != "-fopenmp"]
+        subprocess.run(cmd, check=True, capture_output=True)
 
 
 def get_lib():
@@ -32,7 +39,8 @@ def get_lib():
     if _lib is not None:
         return _lib
     if (not os.path.exists(_SO)
-            or os.path.getmtime(_SO) < os.path.getmtime(_SRC)):
+            or os.path.getmtime(_SO) < max(os.path.getmtime(s)
+                                           for s in _SRCS)):
         _build()
     lib = ctypes.CDLL(_SO)
     lib.thin_volume.restype = ctypes.c_long
@@ -43,8 +51,67 @@ def get_lib():
     ]
     lib.simple_point_code.restype = ctypes.c_int
     lib.simple_point_code.argtypes = [ctypes.c_uint32]
+    lib.edt3d_sq.restype = None
+    lib.edt3d_sq.argtypes = [
+        ctypes.POINTER(ctypes.c_uint8),
+        ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.POINTER(ctypes.c_float),
+    ]
+    lib.label_components_26.restype = ctypes.c_long
+    lib.label_components_26.argtypes = [
+        ctypes.POINTER(ctypes.c_uint8),
+        ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.POINTER(ctypes.c_int32),
+    ]
+    lib.drop_small_components_26.restype = ctypes.c_long
+    lib.drop_small_components_26.argtypes = [
+        ctypes.POINTER(ctypes.c_uint8),
+        ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.c_long,
+    ]
     _lib = lib
     return lib
+
+
+def edt_native(mask, squared: bool = False) -> np.ndarray:
+    """Exact 3D Euclidean distance transform (distance to nearest
+    background) of a binary mask, computed natively on the host
+    (Felzenszwalb separable passes, OpenMP across rows).
+
+    Native counterpart of scipy ``distance_transform_edt`` as used by the
+    reference (generateVesselVolume.py:183, manualCorrectionGUI.py:243-249)
+    and of the device kernel in ops/edt.py — no accelerator round trip.
+    """
+    m = np.ascontiguousarray(np.asarray(mask) != 0, dtype=np.uint8)
+    nz, ny, nx = m.shape
+    out = np.empty(m.shape, np.float32)
+    get_lib().edt3d_sq(m.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+                       nz, ny, nx,
+                       out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)))
+    return out if squared else np.sqrt(out, out=out)
+
+
+def label_components_native(mask) -> "tuple[np.ndarray, int]":
+    """26-connectivity component labels (int32, 0 = background, 1..K in
+    scan order) via native flood fill.  Returns (labels, K)."""
+    m = np.ascontiguousarray(np.asarray(mask) != 0, dtype=np.uint8)
+    nz, ny, nx = m.shape
+    labels = np.zeros(m.shape, np.int32)
+    k = get_lib().label_components_26(
+        m.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), nz, ny, nx,
+        labels.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)))
+    return labels, int(k)
+
+
+def drop_small_components_native(mask, threshold: int) -> np.ndarray:
+    """Zero 26-connected components with <= threshold voxels (native,
+    in one pass; reference main(), generateVesselVolume.py:195-199)."""
+    m = np.ascontiguousarray(np.asarray(mask) != 0, dtype=np.uint8)
+    nz, ny, nx = m.shape
+    get_lib().drop_small_components_26(
+        m.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), nz, ny, nx,
+        int(threshold))
+    return m
 
 
 def bounding_box(mask, margin: int = 1):

@@ -30,6 +30,11 @@ from .config import PipelineConfig
 from .ops.cc import drop_small_components
 from .ops.edt import edt
 from .ops.region_grow import region_grow
+from .utils.hostmem import configure_host_allocator
+
+# volume stages churn 100-200 MB numpy temporaries per call; keep them
+# heap-resident so steady-state runs do not re-fault every page
+configure_host_allocator()
 
 
 @dataclasses.dataclass
@@ -134,16 +139,19 @@ def refine_mask_region_grow(vesselness, seed_mask, config=None):
 def compute_mask_edt(mask):
     """Bounding-box-cropped EDT of the vessel mask (shared by
     skeletonization ordering and branch radius recovery — the reference
-    also caches this array, manualCorrectionGUI.py:243-249).  Crosses to
-    the host as f16 (radii are O(10) voxels; the wire is the bottleneck).
+    also caches this array, manualCorrectionGUI.py:243-249).
+
+    The mask lives on the host at this point (it just crossed as packed
+    bits), and both consumers are host-side, so the exact native EDT
+    (Felzenszwalb C++, ops/native.py) avoids a full-volume round trip
+    over the accelerator link entirely.
     """
-    from .ops.native import bounding_box
-    from .utils.transfer import f16_to_host
+    from .ops.native import bounding_box, edt_native
 
     vv = np.asarray(mask) != 0
     box = bounding_box(vv, margin=2)
     dt = np.zeros(vv.shape, np.float32)
-    dt[box] = f16_to_host(edt(vv[box], band=32))
+    dt[box] = edt_native(vv[box])
     return dt
 
 

@@ -1,0 +1,208 @@
+// Native volume kernels: 3D squared Euclidean distance transform and
+// 26-connectivity component labeling.
+//
+// These are two of the reference's C-backed hot host ops (scipy
+// distance_transform_edt, generateVesselVolume.py:183 and
+// manualCorrectionGUI.py:243-249; skimage/scipy label,
+// generateVesselVolume.py:107-136) reimplemented natively so the host
+// side of the pipeline never round-trips a full volume through the
+// accelerator link just to compute distances or drop small blobs.
+//
+// EDT: Felzenszwalb & Huttenlocher separable lower-envelope transform,
+// exact, three 1D passes; rows are independent -> OpenMP across rows.
+// CC: scan + explicit-worklist flood fill over foreground only.
+//
+// Build: g++ -O3 -fopenmp -shared -fPIC volume_ops.cpp (see ops/native.py)
+
+#include <cstdint>
+#include <cstring>
+#include <limits>
+#include <vector>
+
+#ifdef _OPENMP
+#include <omp.h>
+#endif
+
+namespace {
+
+// "no background seen" sentinel: finite so the lower-envelope arithmetic
+// needs no special cases; any true squared distance in a <=4096^3 volume
+// is < 6e7, far below it.  Envelope math runs in double so LARGE +- q^2
+// stays exact.
+constexpr double kLarge = 1e15;
+constexpr float kInf = std::numeric_limits<float>::infinity();
+
+// 1D squared-distance lower envelope (Felzenszwalb-Huttenlocher).
+// f: input costs, d: output, n: length; v/z: scratch of size n / n+1.
+inline void dt1d(const double* f, double* d, int n, int* v, double* z) {
+    int k = 0;
+    v[0] = 0;
+    z[0] = -kInf;
+    z[1] = kInf;
+    for (int q = 1; q < n; ++q) {
+        double s;
+        while (true) {
+            s = ((f[q] + double(q) * q) - (f[v[k]] + double(v[k]) * v[k]))
+                / (2.0 * q - 2.0 * v[k]);
+            if (s <= z[k]) { --k; }
+            else break;
+        }
+        ++k;
+        v[k] = q;
+        z[k] = s;
+        z[k + 1] = kInf;
+    }
+    k = 0;
+    for (int q = 0; q < n; ++q) {
+        while (z[k + 1] < q) ++k;
+        d[q] = (double(q) - v[k]) * (double(q) - v[k]) + f[v[k]];
+    }
+}
+
+}  // namespace
+
+extern "C" {
+
+// Exact squared EDT (distance to nearest background voxel) of a binary
+// mask: out[i] = 0 where mask==0, else min over background of squared
+// Euclidean distance.  out must hold nz*ny*nx floats.
+void edt3d_sq(const uint8_t* mask, int nz, int ny, int nx, float* out) {
+    const long plane = static_cast<long>(ny) * nx;
+    const long total = static_cast<long>(nz) * plane;
+
+    // pass 1 (x, contiguous): exact 1D distance to nearest 0 per row
+#pragma omp parallel
+    {
+        std::vector<double> buf(nx);
+#pragma omp for schedule(static)
+        for (long r = 0; r < static_cast<long>(nz) * ny; ++r) {
+            const uint8_t* m = mask + r * nx;
+            float* o = out + r * nx;
+            double run = kLarge;
+            for (int x = 0; x < nx; ++x) {
+                run = m[x] ? ((run >= kLarge) ? kLarge : run + 1.0) : 0.0;
+                buf[x] = run;
+            }
+            run = kLarge;
+            for (int x = nx - 1; x >= 0; --x) {
+                run = m[x] ? ((run >= kLarge) ? kLarge : run + 1.0) : 0.0;
+                double v = buf[x] < run ? buf[x] : run;
+                o[x] = static_cast<float>((v >= kLarge) ? kLarge : v * v);
+            }
+        }
+    }
+
+    // passes 2 (y) and 3 (z): lower envelope along a strided axis.
+    // Columns are gathered into a contiguous tile TILE-at-a-time so the
+    // strided reads touch whole cache lines (63x fewer cache misses than
+    // one-column-at-a-time at MRA strides).
+    constexpr int TILE = 64;
+    auto strided_pass = [&](int len, long stride, long n_cols,
+                            auto col_base) {
+#pragma omp parallel
+        {
+            std::vector<double> tile(static_cast<size_t>(TILE) * len);
+            std::vector<double> d(len), z(len + 1);
+            std::vector<int> v(len);
+#pragma omp for schedule(static)
+            for (long c0 = 0; c0 < n_cols; c0 += TILE) {
+                int w = static_cast<int>(
+                    c0 + TILE <= n_cols ? TILE : n_cols - c0);
+                for (int i = 0; i < len; ++i) {
+                    for (int j = 0; j < w; ++j)
+                        tile[static_cast<size_t>(j) * len + i] =
+                            col_base(c0 + j)[static_cast<long>(i) * stride];
+                }
+                for (int j = 0; j < w; ++j) {
+                    double* f = tile.data() + static_cast<size_t>(j) * len;
+                    dt1d(f, d.data(), len, v.data(), z.data());
+                    std::memcpy(f, d.data(), sizeof(double) * len);
+                }
+                for (int i = 0; i < len; ++i) {
+                    for (int j = 0; j < w; ++j)
+                        col_base(c0 + j)[static_cast<long>(i) * stride] =
+                            static_cast<float>(
+                                tile[static_cast<size_t>(j) * len + i]);
+                }
+            }
+        }
+    };
+
+    // pass 2 (y): columns indexed by (z, x), consecutive x are contiguous
+    strided_pass(ny, nx, static_cast<long>(nz) * nx, [&](long c) {
+        long zi = c / nx, x = c % nx;
+        return out + zi * plane + x;
+    });
+    // pass 3 (z): columns indexed by (y, x) = flat plane offset
+    strided_pass(nz, plane, plane, [&](long c) { return out + c; });
+
+    // foreground-only contract: background stays exactly 0; a foreground
+    // volume with no background at all keeps the LARGE sentinel
+    for (long i = 0; i < total; ++i)
+        if (!mask[i]) out[i] = 0.0f;
+}
+
+// 26-connectivity component labeling.  labels must be zero-initialized,
+// same shape as mask.  Returns the number of components; labels are
+// 1..K in scan order of each component's first voxel (matching scipy
+// ndimage.label with a full 3x3x3 structure).
+long label_components_26(const uint8_t* mask, int nz, int ny, int nx,
+                         int32_t* labels) {
+    const long plane = static_cast<long>(ny) * nx;
+    const long total = static_cast<long>(nz) * plane;
+    std::vector<long> stack;
+    stack.reserve(1 << 16);
+    long next = 0;
+    for (long start = 0; start < total; ++start) {
+        if (!mask[start] || labels[start]) continue;
+        ++next;
+        labels[start] = static_cast<int32_t>(next);
+        stack.push_back(start);
+        while (!stack.empty()) {
+            long cur = stack.back();
+            stack.pop_back();
+            int zc = static_cast<int>(cur / plane);
+            int yc = static_cast<int>((cur % plane) / nx);
+            int xc = static_cast<int>(cur % nx);
+            for (int dz = -1; dz <= 1; ++dz) {
+                int z2 = zc + dz;
+                if (z2 < 0 || z2 >= nz) continue;
+                for (int dy = -1; dy <= 1; ++dy) {
+                    int y2 = yc + dy;
+                    if (y2 < 0 || y2 >= ny) continue;
+                    for (int dx = -1; dx <= 1; ++dx) {
+                        int x2 = xc + dx;
+                        if (x2 < 0 || x2 >= nx) continue;
+                        long q = (static_cast<long>(z2) * ny + y2) * nx + x2;
+                        if (mask[q] && !labels[q]) {
+                            labels[q] = static_cast<int32_t>(next);
+                            stack.push_back(q);
+                        }
+                    }
+                }
+            }
+        }
+    }
+    return next;
+}
+
+// Zero components with <= threshold voxels, in place.  Returns the
+// number of surviving components (generateVesselVolume.py:195-199).
+long drop_small_components_26(uint8_t* mask, int nz, int ny, int nx,
+                              long threshold) {
+    const long total = static_cast<long>(nz) * ny * nx;
+    std::vector<int32_t> labels(total, 0);
+    long k = label_components_26(mask, nz, ny, nx, labels.data());
+    if (k == 0) return 0;
+    std::vector<long> sizes(k + 1, 0);
+    for (long i = 0; i < total; ++i) ++sizes[labels[i]];
+    std::vector<uint8_t> keep(k + 1, 0);
+    long kept = 0;
+    for (long c = 1; c <= k; ++c)
+        if (sizes[c] > threshold) { keep[c] = 1; ++kept; }
+    for (long i = 0; i < total; ++i)
+        if (!keep[labels[i]]) mask[i] = 0;
+    return kept;
+}
+
+}  // extern "C"

@@ -1,0 +1,92 @@
+"""Native (C++) EDT / connected-component kernels: parity vs scipy.
+
+These are two of the reference's C-backed host ops rebuilt natively
+(scipy distance_transform_edt, generateVesselVolume.py:183; skimage/
+scipy label, generateVesselVolume.py:107-136) — SURVEY.md §2 native
+accounting items (2) and (3).
+"""
+
+import numpy as np
+import pytest
+from scipy import ndimage
+
+from arterynetwork_tpu.ops.native import (
+    drop_small_components_native,
+    edt_native,
+    label_components_native,
+)
+
+
+@pytest.mark.parametrize("seed,density", [(0, 0.3), (1, 0.6), (2, 0.9)])
+def test_edt_native_matches_scipy(seed, density):
+    rng = np.random.default_rng(seed)
+    m = rng.random((37, 29, 23)) < density
+    ours = edt_native(m)
+    ref = ndimage.distance_transform_edt(m)
+    np.testing.assert_allclose(ours, ref, atol=1e-4)
+
+
+def test_edt_native_squared_exact_ints():
+    rng = np.random.default_rng(3)
+    m = rng.random((25, 25, 25)) < 0.7
+    sq = edt_native(m, squared=True)
+    ref = ndimage.distance_transform_edt(m) ** 2
+    np.testing.assert_allclose(sq, np.round(ref), atol=1e-3)
+
+
+def test_edt_native_degenerate():
+    assert edt_native(np.zeros((5, 6, 7), bool)).max() == 0
+    # all-foreground: no background anywhere -> sentinel plateau
+    assert edt_native(np.ones((5, 6, 7), bool)).min() > 1e6
+
+
+def test_label_components_native_matches_scipy():
+    rng = np.random.default_rng(4)
+    m = rng.random((30, 31, 32)) < 0.15  # sparse -> many components
+    lab, k = label_components_native(m)
+    rlab, rk = ndimage.label(m, structure=np.ones((3, 3, 3)))
+    assert k == rk
+    # identical partition up to renumbering: the (ours, scipy) label
+    # pairing over foreground must be a bijection
+    pairs = set(zip(lab[m].tolist(), rlab[m].tolist()))
+    assert len(pairs) == k
+    assert len({a for a, _ in pairs}) == k
+    assert len({b for _, b in pairs}) == k
+    assert (lab > 0).sum() == m.sum()
+
+
+def test_drop_small_components_native():
+    m = np.zeros((20, 20, 20), bool)
+    m[2:4, 2:4, 2:4] = True          # 8 voxels
+    m[10:16, 10:16, 10:16] = True    # 216 voxels
+    out = drop_small_components_native(m, threshold=50)
+    assert out.sum() == 216
+    out2 = drop_small_components_native(m, threshold=5)
+    assert out2.sum() == 224
+
+
+def test_drop_small_components_dispatch():
+    from arterynetwork_tpu.ops.cc import drop_small_components
+    m = np.zeros((16, 16, 16), np.uint8)
+    m[1:3, 1:3, 1:3] = 1
+    m[8:14, 8:14, 8:14] = 1
+    out = drop_small_components(m, threshold=50)
+    assert out.dtype == np.uint8
+    assert out.sum() == 6 * 6 * 6
+
+
+def test_vascular_phantom_properties():
+    from arterynetwork_tpu.utils.phantoms import (phantom_raw_volume,
+                                                  vascular_tree_phantom)
+    ph = vascular_tree_phantom((128, 128, 64), n_branches=60,
+                               root_radius=4.0, branch_length=(10, 25),
+                               seed=0)
+    m = ph["mask"]
+    assert ph["n_branches"] >= 40
+    assert 0.001 < m.mean() < 0.1
+    # single 26-connected component (flow needs a connected tree)
+    _, k = label_components_native(m)
+    assert k == 1
+    raw = phantom_raw_volume(ph)
+    assert raw.shape == m.shape
+    assert raw[m].mean() > raw[~m].mean() + 50
