@@ -24,6 +24,10 @@ class VesselnessConfig:
     beta: float = 0.5
     gamma: Optional[float] = None
     bright: bool = True
+    # raw-volume wire format to the accelerator: "u12" (packed 12-bit
+    # fixed point, full MRA acquisition precision at 1.5 B/voxel),
+    # "u8", or "f16" (utils/transfer.upload_quantized)
+    upload_format: str = "u12"
 
 
 @dataclasses.dataclass

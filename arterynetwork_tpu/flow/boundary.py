@@ -72,18 +72,35 @@ def terminating_nodes_of_partition(net: FlowNetwork, part):
             if deg[n] == 1 and net.node_depth[n] != 0]
 
 
+def path_lengths_from(net: FlowNetwork, start) -> np.ndarray:
+    """Path length (meters) from ``start`` to every node along
+    hop-shortest paths, in one BFS pass.  NaN where unreachable."""
+    adj = [[] for _ in range(net.num_nodes)]
+    for e in range(net.num_edges):
+        h, t = int(net.heads[e]), int(net.tails[e])
+        adj[h].append((t, e))
+        adj[t].append((h, e))
+    out = np.full(net.num_nodes, np.nan)
+    out[int(start)] = 0.0
+    lengths_m = np.asarray(net.length, float) * net.spacing
+    frontier = [int(start)]
+    seen = {int(start)}
+    while frontier:
+        nxt = []
+        for cur in frontier:
+            for (nbr, e) in adj[cur]:
+                if nbr in seen:
+                    continue
+                seen.add(nbr)
+                out[nbr] = out[cur] + lengths_m[e]
+                nxt.append(nbr)
+        frontier = nxt
+    return out
+
+
 def path_length_to_node(net: FlowNetwork, start, node):
     """Shortest-path length (meters) from start to node on the network."""
-    import networkx as nx
-
-    G = nx.Graph()
-    for e in range(net.num_edges):
-        G.add_edge(int(net.heads[e]), int(net.tails[e]),
-                   edge_index=e, weight=1.0)
-    path = nx.shortest_path(G, int(start), int(node))
-    edges = {G[path[i]][path[i + 1]]["edge_index"]
-             for i in range(len(path) - 1)}
-    return float(sum(net.length[e] for e in edges) * net.spacing)
+    return float(path_lengths_from(net, start)[int(node)])
 
 
 def set_terminating_pressure(
@@ -108,9 +125,9 @@ def set_terminating_pressure(
         s, _i = (fit_per_partition[name] if fit_per_partition
                  else (slope, intercept))
         p_in = part.get("pressure_in", pressure_in)
+        pls = path_lengths_from(net, part["start_nodes"][0])
         for node in terminating_nodes_of_partition(net, part):
-            pl = path_length_to_node(net, part["start_nodes"][0], node)
-            pressures[node] = p_in + pl * s * 0.8
+            pressures[node] = p_in + pls[node] * s * 0.8
     return pressures
 
 
@@ -126,8 +143,8 @@ def fit_terminating_pressure_to_path_length(
         if len(nodes) < 2:
             out[name] = (0.0, float("nan"))
             continue
-        pls = [path_length_to_node(net, part["start_nodes"][0], n)
-               for n in nodes]
+        all_pls = path_lengths_from(net, part["start_nodes"][0])
+        pls = [float(all_pls[n]) for n in nodes]
         ps = [float(node_pressure[n]) for n in nodes]
         res = stats.linregress(pls, ps)
         out[name] = (float(res.slope), float(res.intercept))

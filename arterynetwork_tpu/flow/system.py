@@ -144,21 +144,25 @@ def build_system(
         bc_edge = np.zeros((0,), dtype=np.int32)
         bc_velocity = np.zeros((0,))
 
-    return FlowSystem(
-        head=jnp.asarray(net.heads, dtype=jnp.int32),
-        tail=jnp.asarray(net.tails, dtype=jnp.int32),
-        radius_m=jnp.asarray(net.radius_m(), dtype=dtype),
-        length_m=jnp.asarray(net.length_m(), dtype=dtype),
-        c=jnp.asarray(net.c, dtype=dtype),
-        k=jnp.asarray(net.k, dtype=dtype),
-        node_fixed=jnp.asarray(fixed),
-        node_fixed_pressure=jnp.asarray(fixed_pressure, dtype=dtype),
-        node_arg=jnp.asarray(node_arg),
-        node_unknown_index=jnp.asarray(node_unknown_index),
-        conserve_nodes=jnp.asarray(conserve),
-        bc_edge=jnp.asarray(bc_edge),
-        bc_velocity=jnp.asarray(bc_velocity, dtype=dtype),
-        node_depth=jnp.asarray(net.node_depth, dtype=jnp.int32),
+    np_dtype = np.dtype(jnp.dtype(dtype).name)
+    system = FlowSystem(
+        head=np.asarray(net.heads, dtype=np.int32),
+        tail=np.asarray(net.tails, dtype=np.int32),
+        radius_m=np.asarray(net.radius_m(), dtype=np_dtype),
+        length_m=np.asarray(net.length_m(), dtype=np_dtype),
+        c=np.asarray(net.c, dtype=np_dtype),
+        k=np.asarray(net.k, dtype=np_dtype),
+        node_fixed=np.asarray(fixed),
+        node_fixed_pressure=np.asarray(fixed_pressure, dtype=np_dtype),
+        node_arg=np.asarray(node_arg),
+        node_unknown_index=np.asarray(node_unknown_index),
+        conserve_nodes=np.asarray(conserve),
+        bc_edge=np.asarray(bc_edge),
+        bc_velocity=np.asarray(bc_velocity, dtype=np_dtype),
+        node_depth=np.asarray(net.node_depth, dtype=np.int32),
         num_unknown_pressures=int(M),
         num_nodes=int(N),
     )
+    # one batched transfer for the whole pytree: per-array device_put pays
+    # a full link round trip each on the tunneled backend (~14 arrays)
+    return jax.device_put(system)

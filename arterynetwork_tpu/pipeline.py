@@ -77,11 +77,19 @@ def vesselness_stage(raw_volume, config: Optional[PipelineConfig] = None,
     import jax.numpy as jnp
 
     cfg = (config or PipelineConfig()).vesselness
-    # upload as f16 (raw MRA is ~12-bit; the wire is the bottleneck) and
-    # widen on device
-    raw16 = jnp.asarray(np.asarray(raw_volume, np.float16))
+    # the wire is the bottleneck: raw MRA is ~12-bit, so the default wire
+    # format is packed 12-bit fixed point (1.5 B/voxel), dequantized on
+    # device (utils/transfer.upload_quantized)
+    from .utils.transfer import upload_quantized
+
+    if cfg.upload_format == "f16":
+        raw_d = jnp.asarray(np.asarray(raw_volume, np.float16)).astype(
+            jnp.float32)
+    else:
+        raw_d = upload_quantized(raw_volume,
+                                 bits=8 if cfg.upload_format == "u8" else 12)
     v = frangi_vesselness(
-        raw16.astype(jnp.float32),
+        raw_d,
         sigmas=tuple(cfg.sigmas),
         alpha=cfg.alpha, beta=cfg.beta, gamma=cfg.gamma, bright=cfg.bright)
     if store is not None:

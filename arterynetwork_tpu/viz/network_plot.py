@@ -163,14 +163,14 @@ def plot_root_pressure_over_time(timestep_pressures, root_nodes,
 def plot_tp_vs_path_length(net, node_pressure, partitions, path=None):
     """Terminating pressure vs path length scatter per compartment
     (fluidSimulation.py:4338-4400 / showTerminatingPressureAndPathLength)."""
-    from ..flow.boundary import (path_length_to_node,
+    from ..flow.boundary import (path_lengths_from,
                                  terminating_nodes_of_partition)
 
     fig, ax = plt.subplots(figsize=(6, 4))
     for name, part in partitions.items():
         nodes = terminating_nodes_of_partition(net, part)
-        pl = [path_length_to_node(net, part["start_nodes"][0], n) * 1000
-              for n in nodes]
+        pls = path_lengths_from(net, part["start_nodes"][0])
+        pl = [pls[n] * 1000 for n in nodes]
         pr = [node_pressure[n] / PASCAL_PER_MMHG for n in nodes]
         ax.scatter(pl, pr, label=name, s=12)
     ax.set_xlabel("path length (mm)")

@@ -333,6 +333,9 @@ def bench_pipeline_512():
 
     cfg = PipelineConfig()
     cfg.vesselness.sigmas = (1.0, 2.0, 3.0)
+    # 8-bit wire: quantization noise (0.2% of range) is 10x below the
+    # phantom's image noise, and the tunnel link is the stage bottleneck
+    cfg.vesselness.upload_format = "u8"
     cfg.segmentation.global_threshold_fraction = 0.2
     cfg.segmentation.min_component_size = 50
     cfg.skeleton.backend = "native"

@@ -25,25 +25,29 @@
 
 namespace {
 
-// "no background seen" sentinel: finite so the lower-envelope arithmetic
-// needs no special cases; any true squared distance in a <=4096^3 volume
-// is < 6e7, far below it.  Envelope math runs in double so LARGE +- q^2
-// stays exact.
-constexpr double kLarge = 1e15;
+// "no background seen" sentinel.  Finite so the lower-envelope arithmetic
+// needs no special cases.  The transform runs in float32: every finite
+// squared distance is an integer sum of three squares < 2^24 (volumes up
+// to ~2000 per axis), hence exact; sentinel-site envelope crossings lose
+// precision but sentinel sites only ever produce sentinel-level outputs
+// (a mixed crossing has a huge exact-signed numerator), so results are
+// unaffected.
+constexpr float kLarge = 1e15f;
 constexpr float kInf = std::numeric_limits<float>::infinity();
 
 // 1D squared-distance lower envelope (Felzenszwalb-Huttenlocher).
 // f: input costs, d: output, n: length; v/z: scratch of size n / n+1.
-inline void dt1d(const double* f, double* d, int n, int* v, double* z) {
+template <typename T>
+inline void dt1d(const T* f, T* d, int n, int* v, T* z) {
     int k = 0;
     v[0] = 0;
     z[0] = -kInf;
     z[1] = kInf;
     for (int q = 1; q < n; ++q) {
-        double s;
+        T s;
         while (true) {
-            s = ((f[q] + double(q) * q) - (f[v[k]] + double(v[k]) * v[k]))
-                / (2.0 * q - 2.0 * v[k]);
+            s = ((f[q] + T(q) * q) - (f[v[k]] + T(v[k]) * v[k]))
+                / (T(2) * q - T(2) * v[k]);
             if (s <= z[k]) { --k; }
             else break;
         }
@@ -55,7 +59,7 @@ inline void dt1d(const double* f, double* d, int n, int* v, double* z) {
     k = 0;
     for (int q = 0; q < n; ++q) {
         while (z[k + 1] < q) ++k;
-        d[q] = (double(q) - v[k]) * (double(q) - v[k]) + f[v[k]];
+        d[q] = (T(q) - v[k]) * (T(q) - v[k]) + f[v[k]];
     }
 }
 
@@ -73,21 +77,21 @@ void edt3d_sq(const uint8_t* mask, int nz, int ny, int nx, float* out) {
     // pass 1 (x, contiguous): exact 1D distance to nearest 0 per row
 #pragma omp parallel
     {
-        std::vector<double> buf(nx);
+        std::vector<float> buf(nx);
 #pragma omp for schedule(static)
         for (long r = 0; r < static_cast<long>(nz) * ny; ++r) {
             const uint8_t* m = mask + r * nx;
             float* o = out + r * nx;
-            double run = kLarge;
+            float run = kLarge;
             for (int x = 0; x < nx; ++x) {
-                run = m[x] ? ((run >= kLarge) ? kLarge : run + 1.0) : 0.0;
+                run = m[x] ? ((run >= kLarge) ? kLarge : run + 1.0f) : 0.0f;
                 buf[x] = run;
             }
             run = kLarge;
             for (int x = nx - 1; x >= 0; --x) {
-                run = m[x] ? ((run >= kLarge) ? kLarge : run + 1.0) : 0.0;
-                double v = buf[x] < run ? buf[x] : run;
-                o[x] = static_cast<float>((v >= kLarge) ? kLarge : v * v);
+                run = m[x] ? ((run >= kLarge) ? kLarge : run + 1.0f) : 0.0f;
+                float v = buf[x] < run ? buf[x] : run;
+                o[x] = (v >= kLarge) ? kLarge : v * v;
             }
         }
     }
@@ -101,8 +105,8 @@ void edt3d_sq(const uint8_t* mask, int nz, int ny, int nx, float* out) {
                             auto col_base) {
 #pragma omp parallel
         {
-            std::vector<double> tile(static_cast<size_t>(TILE) * len);
-            std::vector<double> d(len), z(len + 1);
+            std::vector<float> tile(static_cast<size_t>(TILE) * len);
+            std::vector<float> d(len), z(len + 1);
             std::vector<int> v(len);
 #pragma omp for schedule(static)
             for (long c0 = 0; c0 < n_cols; c0 += TILE) {
@@ -114,15 +118,14 @@ void edt3d_sq(const uint8_t* mask, int nz, int ny, int nx, float* out) {
                             col_base(c0 + j)[static_cast<long>(i) * stride];
                 }
                 for (int j = 0; j < w; ++j) {
-                    double* f = tile.data() + static_cast<size_t>(j) * len;
+                    float* f = tile.data() + static_cast<size_t>(j) * len;
                     dt1d(f, d.data(), len, v.data(), z.data());
-                    std::memcpy(f, d.data(), sizeof(double) * len);
+                    std::memcpy(f, d.data(), sizeof(float) * len);
                 }
                 for (int i = 0; i < len; ++i) {
                     for (int j = 0; j < w; ++j)
                         col_base(c0 + j)[static_cast<long>(i) * stride] =
-                            static_cast<float>(
-                                tile[static_cast<size_t>(j) * len + i]);
+                            tile[static_cast<size_t>(j) * len + i];
                 }
             }
         }
