@@ -11,6 +11,24 @@ from .residual import pack_velocity_pressure, residual_reference, validate_equat
 from .solvers import FlowSolution, solve_poiseuille, solve_pressure_newton
 from .system import FlowSystem, build_system
 from .adan import ADANModel, set_network_ck
+from .network_setup import (
+    BRAVA_FIT_PARAMS,
+    COW_BRANCH_ADJUSTMENTS,
+    adjust_network,
+    convert_network,
+    edge_partition_names,
+    load_network,
+    set_network,
+)
+from .studies import (
+    flow_proportions_per_partition,
+    flow_split_study,
+    gbm_test4,
+    same_flow_study,
+    save_gbm_test5_results,
+    tp_fit_solve_study,
+    two_timepoint_comparison,
+)
 from .tree_solver import EliminationPlan, plan_elimination
 
 __all__ = [
@@ -32,6 +50,20 @@ __all__ = [
     "build_system",
     "ADANModel",
     "set_network_ck",
+    "BRAVA_FIT_PARAMS",
+    "COW_BRANCH_ADJUSTMENTS",
+    "adjust_network",
+    "convert_network",
+    "edge_partition_names",
+    "load_network",
+    "set_network",
+    "flow_proportions_per_partition",
+    "flow_split_study",
+    "gbm_test4",
+    "same_flow_study",
+    "save_gbm_test5_results",
+    "tp_fit_solve_study",
+    "two_timepoint_comparison",
     "EliminationPlan",
     "plan_elimination",
 ]

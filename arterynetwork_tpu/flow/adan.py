@@ -49,12 +49,49 @@ class ADANModel:
                 d.get("interceptPressurePathLength", 0.0)),
         )
 
+    def _radius_band(self, radius_m):
+        """(min, max) of the ADAN binning table (meters), or None."""
+        if self.radius_thresholds is None or self.ck_candidates is None:
+            return None
+        th = np.asarray(self.radius_thresholds, float)
+        return float(th.min()), float(th.max())
+
     def c_of_radius(self, radius_m):
+        """setNetwork option 2 (fluidSimulation.py:427-439): radii inside
+        the ADAN table band take the c-radius regression directly; outside
+        the band the regression applies with two special cases — c = 1
+        for 1.5 mm <= r <= 2.5 mm, else clamp negative c to 0.1.  Without
+        a binning table everything is 'out of band' (the reference always
+        has the table; the defaults reproduce its c~1 regime)."""
         radius_m = np.asarray(radius_m, float)
         c = self.slope_c_radius * radius_m + self.intercept_c_radius
-        in_band = (radius_m * 1000 >= 1.5) & (radius_m * 1000 <= 2.5)
-        c = np.where(in_band, 1.0, np.where(c < 0, 0.1, c))
-        return c
+        band = self._radius_band(radius_m)
+        if band is None:
+            in_band = np.zeros(radius_m.shape, bool)
+        else:
+            in_band = (radius_m > band[0]) & (radius_m < band[1])
+        mm = radius_m * 1000.0
+        special = (mm >= 1.5) & (mm <= 2.5)
+        c_out = np.where(special, 1.0, np.where(c < 0, 0.1, c))
+        return np.where(in_band, c, c_out)
+
+    def c_of_radius_binned(self, radius_m):
+        """setNetwork option 1 (fluidSimulation.py:384-399): radii inside
+        the table band take the *binned* candidate
+        ``ck_candidates[digitize(r, radius_thresholds) - 1]``; outside,
+        the regression clamped below at 0.1."""
+        radius_m = np.asarray(radius_m, float)
+        c_reg = self.slope_c_radius * radius_m + self.intercept_c_radius
+        c_reg = np.where(c_reg > 0, c_reg, 0.1)
+        band = self._radius_band(radius_m)
+        if band is None:
+            return c_reg
+        th = np.asarray(self.radius_thresholds, float)
+        cand = np.asarray(self.ck_candidates, float)
+        bins = np.clip(np.digitize(radius_m, th) - 1, 0, len(cand) - 1)
+        c_binned = cand[bins]
+        in_band = (radius_m > band[0]) & (radius_m < band[1])
+        return np.where(in_band, c_binned, c_reg)
 
 
 def set_network_ck(net: FlowNetwork, model: ADANModel = None) -> FlowNetwork:

@@ -1,0 +1,149 @@
+"""C13 network-setup variants: adjustNetwork, setNetwork option 1
+(per-compartment BraVa fit + binned ADAN c/k), legacy loadNetwork /
+convertNetowrk ingestion (fluidSimulation.py:161-439)."""
+
+import os
+import pickle
+
+import networkx as nx
+import numpy as np
+import pytest
+
+from arterynetwork_tpu.flow import (
+    ADANModel,
+    BRAVA_FIT_PARAMS,
+    adjust_network,
+    convert_network,
+    edge_partition_names,
+    load_network,
+    set_network,
+)
+from arterynetwork_tpu.graphs import generate_tree
+
+
+def test_adjust_network_cow_dims():
+    net = generate_tree(max_depth=5, rng=np.random.default_rng(0))
+    net2 = adjust_network(net)
+    mm = net.spacing * 1000.0
+    # LICA(Pre): radius 3.3mm, length 1.5mm (fluidSimulation.py:322-324)
+    assert np.isclose(net2.radius[0] * mm, 3.3)
+    assert np.isclose(net2.length[0] * mm, 1.5)
+    # VA: only length set (radius line commented out in reference, :341-343)
+    assert np.isclose(net2.length[1] * mm, 28.0)
+    assert np.isclose(net2.radius[1], net.radius[1])
+    # untouched edges unchanged
+    assert np.allclose(net2.radius[8:], net.radius[8:])
+
+
+def _partitions_two_subtrees():
+    # generate_tree: node 0 root, children 1 and 2 head the two subtrees
+    return {"LMCA": {"start_nodes": [1], "boundary_nodes": []},
+            "RMCA": {"start_nodes": [2], "boundary_nodes": []}}
+
+
+def test_set_network_option1_per_compartment():
+    net = generate_tree(max_depth=5, rng=np.random.default_rng(1))
+    parts = _partitions_two_subtrees()
+    names = edge_partition_names(net, parts)
+    assert set(names.tolist()) == {"", "LMCA", "RMCA"}
+
+    net2 = set_network(net, option=1, partitions=parts,
+                       rng=np.random.default_rng(2))
+    mm = net.spacing * 1000.0
+    depth = net.edge_depth
+    for name, (a, b, c) in BRAVA_FIT_PARAMS.items():
+        sel = np.asarray(names == name)
+        if not sel.any():
+            continue
+        expected = (a * np.exp(-b * depth[sel]) + c) / mm
+        np.testing.assert_allclose(net2.radius[sel], expected, rtol=1e-12)
+    # unpartitioned root edges fall back to LMCA params (reference applies
+    # LMCA everywhere, fluidSimulation.py:370)
+    a, b, c = BRAVA_FIT_PARAMS["LMCA"]
+    sel = np.asarray(names == "")
+    np.testing.assert_allclose(
+        net2.radius[sel], (a * np.exp(-b * depth[sel]) + c) / mm, rtol=1e-12)
+    # lengths uniform in [1, 70] mm (:365,374)
+    lengths_mm = net2.length * mm
+    assert lengths_mm.min() >= 1.0 and lengths_mm.max() <= 70.0
+
+
+def test_binned_ck_matches_reference_protocol():
+    """Binned c/k: digitize over radiusThresholds exactly as the
+    reference's np.digitize protocol (fluidSimulation.py:384-399)."""
+    thresholds = np.array([0.5e-3, 1.0e-3, 2.0e-3, 4.0e-3])  # meters
+    candidates = np.array([0.8, 0.9, 1.1, 1.852])            # last = k
+    adan = ADANModel(slope_c_radius=100.0, intercept_c_radius=0.05,
+                     radius_thresholds=thresholds,
+                     ck_candidates=candidates, k=1.852)
+    radii = np.array([0.3e-3, 0.7e-3, 1.5e-3, 3.0e-3, 5.0e-3])
+    c = adan.c_of_radius_binned(radii)
+    # reference protocol, interpreted directly
+    expected = []
+    for r in radii:
+        if thresholds.min() < r < thresholds.max():
+            bin_index = np.digitize([r], thresholds)[0] - 1
+            expected.append(candidates[bin_index])
+        else:
+            creg = 100.0 * r + 0.05
+            expected.append(creg if creg > 0 else 0.1)
+    np.testing.assert_allclose(c, expected)
+
+
+def test_option2_regression_semantics():
+    """Option 2: in-band radii take the raw regression (the reference
+    overwrites the binned value, fluidSimulation.py:430-432); out-of-band
+    gets c=1 in 1.5-2.5mm else negative clamp (:433-439)."""
+    thresholds = np.array([0.5e-3, 4.0e-3])
+    adan = ADANModel(slope_c_radius=-1000.0, intercept_c_radius=1.0,
+                     radius_thresholds=thresholds,
+                     ck_candidates=np.array([0.7, 1.852]), k=1.852)
+    # in band: raw regression, even if < 0 (no clamp in the in-band arm)
+    c_in = adan.c_of_radius(np.array([2.0e-3]))
+    np.testing.assert_allclose(c_in, [-1.0])
+    # out of band small: clamp to 0.1 (5e-3 out of band, regression -4)
+    c_out = adan.c_of_radius(np.array([5.0e-3]))
+    np.testing.assert_allclose(c_out, [0.1])
+    # out-of-band 1.5-2.5mm special case needs a narrower band
+    adan2 = ADANModel(slope_c_radius=-1000.0, intercept_c_radius=1.0,
+                      radius_thresholds=np.array([0.1e-3, 0.2e-3]),
+                      ck_candidates=np.array([0.7, 1.852]), k=1.852)
+    np.testing.assert_allclose(adan2.c_of_radius(np.array([2.0e-3])), [1.0])
+
+
+def test_load_and_convert_legacy_bundle(tmp_path):
+    """Round-trip the reference's legacy pickle bundle contract
+    (loadNetwork fluidSimulation.py:161-192 + convertNetowrk :233-309)."""
+    # voxel graph: a Y with depthLevel annotations, 3 segments
+    segs = [[(0, 0, z) for z in range(4)],
+            [(0, 0, 3), (0, 1, 4), (0, 2, 5)],
+            [(0, 0, 3), (1, 0, 4), (2, 0, 5)]]
+    G = nx.Graph()
+    for i, seg in enumerate(segs):
+        for a, b in zip(seg[:-1], seg[1:]):
+            G.add_edge(a, b, segmentIndex=i, meanRadius=2.0 - 0.5 * i,
+                       pathLength=float(len(seg) - 1))
+    for v in G.nodes():
+        G.nodes[v]["depthLevel"] = 0 if v[2] <= 3 and v[:2] == (0, 0) else 1
+
+    bundle = {
+        "G": G,
+        "segmentList": segs,
+        "segmentInfoDict": {0: {}, 1: {}, 2: {}},
+        "nodeInfoDict": {},
+    }
+    fn = os.path.join(str(tmp_path),
+                      "basicFilesForStructureWithCoW4(year=BraVa).pkl")
+    with open(fn, "wb") as f:
+        pickle.dump(bundle, f)
+    with open(os.path.join(str(tmp_path), "partitionInfo.pkl"), "wb") as f:
+        pickle.dump({"LMCA": {"visitedVoxels": [], "segmentIndexList": []}},
+                    f)
+
+    loaded = load_network(str(tmp_path), version=4, year="BraVa")
+    assert "partitionInfo" in loaded
+    net, node_of = convert_network(loaded, root_coord=(0, 0, 0))
+    assert net.num_edges == 3
+    assert net.num_nodes == 4
+    # radii carried from the voxel graph's meanRadius
+    assert set(np.round(net.radius, 3).tolist()) == {2.0, 1.5, 1.0}
