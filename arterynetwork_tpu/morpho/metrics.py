@@ -114,7 +114,17 @@ def calculate_property(G: nx.Graph, segment_list: Sequence[Sequence],
         if not ok:
             continue
 
-        # order [child1, child2, parent] (graphRelated.py:152-207)
+        # order [child1, child2, parent] (graphRelated.py:152-207).
+        # depthVoxel rule: rank the three branches' second voxels together
+        # with the node itself; the rule applies ONLY when the node ranks
+        # second-shallowest (exactly one branch upstream of it) — then
+        # parent = the shallower branch, children = the two deeper ones in
+        # depth order (order = [sortedIndex[2], sortedIndex[3],
+        # sortedIndex[0]], graphRelated.py:157-159).  Any other ranking
+        # (node shallowest — a root junction; node deeper than two
+        # branches — BFS wave overlap) falls back to the max-cosine
+        # pairing of *unnormalized* spline tangents, exactly like the
+        # reference (:186-207).
         order = None
         if "depthVoxel" in G.nodes[node] and all(has_depth):
             depth_list = [G.nodes[seg_infos[i][1][1]]["depthVoxel"]
@@ -122,11 +132,10 @@ def calculate_property(G: nx.Graph, segment_list: Sequence[Sequence],
             sorted_idx = np.argsort(depth_list)
             node_loc = int(np.nonzero(sorted_idx == 3)[0][0])
             if node_loc == 1:
-                order = [sorted_idx[2], sorted_idx[3], sorted_idx[0]]
-                order = [i for i in order if i != 3]
-                # sorted_idx[3] may be the node itself; rebuild properly
-                others = [i for i in sorted_idx if i != 3]
-                order = [others[1], others[2], others[0]]
+                # positions 2, 3, 0 hold branch indices (the node sits at
+                # position 1), so no filtering is needed
+                order = [int(sorted_idx[2]), int(sorted_idx[3]),
+                         int(sorted_idx[0])]
         if order is None:
             if skip_uncategorized:
                 continue
@@ -141,6 +150,10 @@ def calculate_property(G: nx.Graph, segment_list: Sequence[Sequence],
 
         seg_infos = [seg_infos[i] for i in order]
         derivs = [derivs[i] for i in order]
+        # (child1, child2, parent) segment indices — not a reference
+        # field, but lets tests and downstream consumers pin the ordering
+        ninfo["orderedSegments"] = [seg_infos[0][0], seg_infos[1][0],
+                                    seg_infos[2][0]]
 
         v1l, v2l = derivs[0][0], derivs[1][0]
         n1, n2 = norm(v1l), norm(v2l)

@@ -1,0 +1,463 @@
+"""Paper figure suite + per-partition statistics (reference C23 tail):
+
+* ``statistics_per_partition`` / ``statistics_per_partition2`` —
+  graphRelated.py:662-722 (morphology summaries per compartment and for
+  the merged MCA/PCA/ACA groups);
+* ``fig1`` .. ``fig18`` — the paper-figure family
+  (graphRelated.py:752-1565): per-compartment distribution panels,
+  per-graph-level whisker boxes, radius-vs-level, curvature plots;
+* ``plot_terminating_pressures_timesteps`` — plotTerminatingPressures2
+  (fluidSimulation.py:4070-4250);
+* ``show_result_gbm_test5`` — the composite dashboard over the saved
+  per-timestep GBMTest5 result pickles (fluidSimulation.py:3838-4004).
+
+All functions are headless (Agg): pass ``path`` to save; the Figure is
+returned for further composition.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Sequence
+
+import matplotlib
+matplotlib.use("Agg")
+import matplotlib.pyplot as plt  # noqa: E402
+import numpy as np  # noqa: E402
+
+from ..morpho.metrics import calculate_property, summarize  # noqa: E402
+
+PARTITION_NAMES = ["LMCA", "RMCA", "ACA", "LPCA", "RPCA"]
+LEFT_RIGHT = [["LMCA", "LPCA"], ["RMCA", "RPCA"]]
+
+
+# ----------------------------------------------------------------------
+# statistics per partition (graphRelated.py:662-722)
+# ----------------------------------------------------------------------
+def statistics_per_partition(G, segment_list, partition_info,
+                             spacing: float = 0.0004) -> Dict[str, dict]:
+    """Morphology summary per compartment plus 'Overall'
+    (statisticsPerPartition, graphRelated.py:662-689)."""
+    out = {}
+    overall = []
+    for name, info in partition_info.items():
+        overall += [segment_list[i] for i in info["segment_index_list"]]
+    node_info, seg_info = calculate_property(
+        G, overall, spacing=spacing, skip_uncategorized=True, min_nodes=0)
+    out["Overall"] = summarize(node_info, seg_info, spacing=spacing)
+    for name, info in partition_info.items():
+        segs = [segment_list[i] for i in info["segment_index_list"]]
+        node_info, seg_info = calculate_property(
+            G, segs, spacing=spacing, skip_uncategorized=True, min_nodes=0)
+        out[name] = summarize(node_info, seg_info, spacing=spacing)
+    return out
+
+
+def statistics_per_partition2(G, segment_list, partition_info,
+                              spacing: float = 0.0004) -> Dict[str, dict]:
+    """Merged-group summaries: PCA = LPCA+RPCA, MCA = LMCA+RMCA, ACA
+    (statisticsPerPartition2, graphRelated.py:691-722)."""
+    groups = {"PCA": ["LPCA", "RPCA"], "MCA": ["LMCA", "RMCA"],
+              "ACA": ["ACA"]}
+    out = {}
+    for gname, members in groups.items():
+        ids: List[int] = []
+        for m in members:
+            if m in partition_info:
+                ids += list(partition_info[m]["segment_index_list"])
+        segs = [segment_list[i] for i in ids]
+        node_info, seg_info = calculate_property(
+            G, segs, spacing=spacing, skip_uncategorized=True, min_nodes=0)
+        out[gname] = summarize(node_info, seg_info, spacing=spacing)
+    return out
+
+
+# ----------------------------------------------------------------------
+# shared panel helpers
+# ----------------------------------------------------------------------
+def _values_per_partition(info_dict, attr, scale=1.0, names=None,
+                          extra=None):
+    names = names or PARTITION_NAMES
+    groups = []
+    for name in names:
+        member = name if isinstance(name, (list, tuple)) else [name]
+        vals = [info[attr] * scale for info in info_dict.values()
+                if info.get("partitionName") in member and attr in info
+                and (extra is None or extra(info))]
+        groups.append(vals)
+    return groups
+
+
+def _hist_lines(ax, groups, labels, xlabel):
+    """Frequency-normalized histogram rendered as o- lines
+    (the reference's fig1 panel idiom, graphRelated.py:763-780)."""
+    for vals, label in zip(groups, labels):
+        if not vals:
+            continue
+        weights = np.full(len(vals), 1.0 / len(vals))
+        y, edges = np.histogram(vals, weights=weights)
+        centers = 0.5 * (edges[1:] + edges[:-1])
+        ax.plot(centers, y, "o-", label=label, markersize=3)
+    ax.legend(loc="upper right", prop={"size": 5})
+    ax.set_xlabel(xlabel, fontsize=7)
+    ax.set_ylabel("Frequency", fontsize=7)
+
+
+def _level_box(ax, info_dict, value_attr, scale=1.0, level_attr=None,
+               ylabel="", type_filter=None):
+    """Whisker box plot of value_attr grouped by graph level
+    (the reference's fig2-fig6 panel idiom, via mf.boxPlotWithWhiskers)."""
+    from .helpers import box_plot_whiskers
+
+    levels, vals = [], []
+    for info in info_dict.values():
+        la = level_attr or ("segmentLevel" if "segmentLevel" in info
+                            else "depthLevel")
+        if la not in info or value_attr not in info:
+            continue
+        if type_filter and info.get("type") != type_filter:
+            continue
+        levels.append(info[la])
+        vals.append(info[value_attr] * scale)
+    if not levels:
+        ax.set_ylabel(ylabel, fontsize=7)
+        return
+    levels = np.asarray(levels)
+    vals = np.asarray(vals)
+    positions = np.sort(np.unique(levels))
+    values = [vals[levels == p].tolist() for p in positions]
+    box_plot_whiskers(values, ax, positions=positions.tolist(),
+                      xlabel="Graph level", ylabel=ylabel)
+
+
+def _new_fig(n_rows, n_cols, height=3.0):
+    fig, axes = plt.subplots(n_rows, n_cols,
+                             figsize=(3.2 * n_cols, height * n_rows))
+    axes = np.atleast_1d(axes).reshape(n_rows, n_cols)
+    fig.subplots_adjust(left=0.05, right=0.96, top=0.90, bottom=0.15,
+                        wspace=0.3, hspace=0.4)
+    return fig, axes
+
+
+def _save(fig, path):
+    if path:
+        fig.savefig(path, dpi=110)
+        plt.close(fig)
+    return fig
+
+
+# ----------------------------------------------------------------------
+# fig1-fig6 (graphRelated.py:752-1308)
+# ----------------------------------------------------------------------
+def fig1(segment_info, node_info, spacing_mm: float = 0.25, path=None):
+    """Figure S1 subplots 1-8 (graphRelated.py:752-917)."""
+    fig, axes = _new_fig(2, 4, height=3.2)
+    _hist_lines(axes[0, 0], _values_per_partition(
+        segment_info, "pathLength", spacing_mm), PARTITION_NAMES,
+        "Branch Length (mm)")
+    _hist_lines(axes[0, 1], _values_per_partition(
+        node_info, "depthLevel"), PARTITION_NAMES, "Graph Level")
+    for name in PARTITION_NAMES:
+        lv = [i["depthLevel"] for i in node_info.values()
+              if i.get("partitionName") == name and "depthLevel" in i
+              and "type" in i]
+        if lv:
+            p = np.sort(np.unique(lv))
+            axes[0, 2].plot(p, [lv.count(x) for x in p], "o-",
+                            label=name, markersize=3)
+    axes[0, 2].set_xlabel("Graph Level", fontsize=7)
+    axes[0, 2].set_ylabel("# of nodes", fontsize=7)
+    axes[0, 2].legend(prop={"size": 5})
+    for side, label in zip(LEFT_RIGHT, ["Left", "Right"]):
+        lv = [i["depthLevel"] for i in node_info.values()
+              if i.get("partitionName") in side and "depthLevel" in i
+              and "type" in i]
+        if lv:
+            p = np.sort(np.unique(lv))
+            axes[0, 3].plot(p, [lv.count(x) for x in p], "o-",
+                            label=label, markersize=3)
+    axes[0, 3].set_xlabel("Graph Level", fontsize=7)
+    axes[0, 3].set_ylabel("# of nodes", fontsize=7)
+    axes[0, 3].legend(prop={"size": 5})
+    _hist_lines(axes[1, 0], _values_per_partition(
+        node_info, "depthVoxel"), PARTITION_NAMES, "Voxel Level")
+    for tname, label in (("terminating", "Terminating"),
+                         ("bifurcating", "Bifurcating")):
+        lv = [i["depthLevel"] for i in node_info.values()
+              if i.get("type") == tname and "depthLevel" in i]
+        if lv:
+            p = np.sort(np.unique(lv))
+            axes[1, 1].plot(p, [lv.count(x) for x in p], "o-",
+                            label=label, markersize=3)
+    axes[1, 1].set_xlabel("Graph Level", fontsize=7)
+    axes[1, 1].set_ylabel("# of nodes", fontsize=7)
+    axes[1, 1].legend(prop={"size": 5})
+    _hist_lines(axes[1, 2], _values_per_partition(
+        segment_info, "meanRadius", spacing_mm), PARTITION_NAMES,
+        "Mean radius (mm)")
+    groups = _values_per_partition(segment_info, "meanRadius", spacing_mm,
+                                   names=LEFT_RIGHT)
+    weights = [np.full(len(g), 1.0 / len(g)) if g else [] for g in groups]
+    axes[1, 3].hist([g for g in groups if len(g)],
+                    weights=[w for w in weights if len(w)],
+                    label=["Left", "Right"])
+    axes[1, 3].legend(prop={"size": 5})
+    axes[1, 3].set_xlabel("Mean radius (mm)", fontsize=7)
+    axes[1, 3].set_ylabel("Frequency", fontsize=7)
+    return _save(fig, path)
+
+
+def fig2(segment_info, node_info, spacing_mm: float = 0.25, path=None):
+    """Branch length / terminating / bifurcating length and voxel level
+    vs graph level (graphRelated.py:919-996)."""
+    fig, axes = _new_fig(1, 4)
+    _level_box(axes[0, 0], segment_info, "pathLength", spacing_mm,
+               ylabel="Branch length (mm)")
+    _level_box(axes[0, 1], segment_info, "pathLength", spacing_mm,
+               ylabel="Terminating branch length (mm)",
+               type_filter="terminating")
+    _level_box(axes[0, 2], segment_info, "pathLength", spacing_mm,
+               ylabel="Bifurcating branch length (mm)",
+               type_filter="bifurcating")
+    _level_box(axes[0, 3], node_info, "depthVoxel",
+               level_attr="depthLevel", ylabel="Voxel level")
+    return _save(fig, path)
+
+
+def fig3(segment_info, node_info, path=None):
+    """Tortuosity panels (graphRelated.py:998-1075)."""
+    fig, axes = _new_fig(1, 4)
+    _level_box(axes[0, 0], segment_info, "tortuosity",
+               ylabel="Tortuosity", type_filter=None)
+    _level_box(axes[0, 1], segment_info, "tortuosity",
+               ylabel="Terminating tortuosity", type_filter="terminating")
+    _level_box(axes[0, 2], segment_info, "tortuosity",
+               ylabel="Bifurcating tortuosity", type_filter="bifurcating")
+    _level_box(axes[0, 3], segment_info, "aspectRatio",
+               ylabel="Aspect ratio")
+    return _save(fig, path)
+
+
+def fig4(segment_info, node_info, path=None):
+    """Bifurcation amplitude panels (graphRelated.py:1077-1154)."""
+    fig, axes = _new_fig(1, 4)
+    _level_box(axes[0, 0], node_info, "localBifurcationAmplitude",
+               level_attr="depthLevel",
+               ylabel="Local bifurcation amplitude (deg)")
+    _level_box(axes[0, 1], node_info, "remoteBifurcationAmplitude",
+               level_attr="depthLevel",
+               ylabel="Remote bifurcation amplitude (deg)")
+    _level_box(axes[0, 2], node_info, "localBifurcationTilt",
+               level_attr="depthLevel",
+               ylabel="Local bifurcation tilt (deg)")
+    _level_box(axes[0, 3], node_info, "remoteBifurcationTilt",
+               level_attr="depthLevel",
+               ylabel="Remote bifurcation tilt (deg)")
+    return _save(fig, path)
+
+
+def fig5(segment_info, node_info, path=None):
+    """Torque / law panels (graphRelated.py:1156-1223)."""
+    fig, axes = _new_fig(1, 4)
+    _level_box(axes[0, 0], segment_info, "localBifurcationTorque",
+               ylabel="Local bifurcation torque (deg)")
+    _level_box(axes[0, 1], node_info, "cubicLawResult",
+               level_attr="depthLevel", ylabel="Cubic law ratio")
+    _level_box(axes[0, 2], node_info, "squareLawResult",
+               level_attr="depthLevel", ylabel="Square law ratio")
+    _level_box(axes[0, 3], node_info, "lengthRatio",
+               level_attr="depthLevel", ylabel="Length ratio")
+    return _save(fig, path)
+
+
+def fig6(segment_info, node_info, path=None):
+    """Radius-ratio panels (graphRelated.py:1225-1308)."""
+    fig, axes = _new_fig(1, 4)
+    _level_box(axes[0, 0], node_info, "maxRadiusRatio",
+               level_attr="depthLevel", ylabel="Max radius ratio")
+    _level_box(axes[0, 1], node_info, "minRadiusRatio",
+               level_attr="depthLevel", ylabel="Min radius ratio")
+    _level_box(axes[0, 2], node_info, "minRadius",
+               level_attr="depthLevel", ylabel="Min branch radius (voxel)")
+    _level_box(axes[0, 3], segment_info, "meanRadius",
+               ylabel="Mean radius (voxel)")
+    return _save(fig, path)
+
+
+# ----------------------------------------------------------------------
+# fig11/11b radius vs level, fig12/13/18 curvature (graphRelated.py:1310-1565)
+# ----------------------------------------------------------------------
+def fig11(segment_info, node_info, spacing_mm: float = 0.25, path=None,
+          names=("LMCA", "RMCA", "LPCA", "RPCA")):
+    """Radius vs graph level per compartment, 2x2
+    (graphRelated.py:1310-1383)."""
+    fig, axes = _new_fig(2, 2, height=3.0)
+    for ax, name in zip(axes.ravel(), names):
+        lv = [i["segmentLevel"] for i in segment_info.values()
+              if i.get("partitionName") == name and "segmentLevel" in i
+              and "meanRadius" in i]
+        r = [i["meanRadius"] * spacing_mm for i in segment_info.values()
+             if i.get("partitionName") == name and "segmentLevel" in i
+             and "meanRadius" in i]
+        ax.plot(lv, r, "bo", markersize=3)
+        ax.set_title(name, fontsize=8)
+        ax.set_xlabel("Graph level", fontsize=7)
+        ax.set_ylabel("Radius (mm)", fontsize=7)
+    return _save(fig, path)
+
+
+def fig11b(segment_info, node_info, spacing_mm: float = 0.25, path=None):
+    """Radius vs graph level, 1x5 all compartments
+    (graphRelated.py:1385-1474)."""
+    fig, axes = _new_fig(1, 5)
+    for ax, name in zip(axes.ravel(), PARTITION_NAMES):
+        pairs = [(i["segmentLevel"], i["meanRadius"] * spacing_mm)
+                 for i in segment_info.values()
+                 if i.get("partitionName") == name and "segmentLevel" in i
+                 and "meanRadius" in i]
+        if pairs:
+            lv, r = zip(*pairs)
+            ax.plot(lv, r, "bo", markersize=3)
+        ax.set_title(name, fontsize=8)
+        ax.set_xlabel("Graph level", fontsize=7)
+        ax.set_ylabel("Radius (mm)", fontsize=7)
+    return _save(fig, path)
+
+
+def _curvature_panels(segment_info, attr, render, path):
+    fig, axes = _new_fig(2, 3, height=3.0)
+    panels = PARTITION_NAMES + ["All"]
+    for ax, name in zip(axes.ravel(), panels):
+        vals = [(i.get("segmentLevel"), i[attr],
+                 i.get("pathLength", np.nan))
+                for i in segment_info.values() if attr in i
+                and (name == "All" or i.get("partitionName") == name)]
+        render(ax, vals)
+        ax.set_title(name, fontsize=8)
+    return _save(fig, path)
+
+
+def fig12(segment_info, node_info, path=None):
+    """Curvature distribution per compartment (graphRelated.py:1476-1502)."""
+    def render(ax, vals):
+        if vals:
+            ax.hist([v[1] for v in vals])
+        ax.set_xlabel("Mean curvature (mm^-1)", fontsize=7)
+        ax.set_ylabel("Count", fontsize=7)
+    return _curvature_panels(segment_info, "meanCurvatureAveragedInmm",
+                             render, path)
+
+
+def fig13(segment_info, node_info, path=None):
+    """Max curvature vs graph level (graphRelated.py:1504-1535)."""
+    def render(ax, vals):
+        pts = [(l, c) for (l, c, _) in vals if l is not None]
+        if pts:
+            lv, c = zip(*pts)
+            ax.plot(lv, c, "bo", markersize=3)
+        ax.set_xlabel("Graph level", fontsize=7)
+        ax.set_ylabel("Max curvature (mm^-1)", fontsize=7)
+    return _curvature_panels(segment_info, "maxCurvatureAveragedInmm",
+                             render, path)
+
+
+def fig18(segment_info, node_info, spacing_mm: float = 0.25, path=None):
+    """Mean curvature vs branch length (graphRelated.py:1537-1565)."""
+    def render(ax, vals):
+        pts = [(pl * spacing_mm, c) for (_, c, pl) in vals
+               if np.isfinite(pl)]
+        if pts:
+            x, y = zip(*pts)
+            ax.plot(x, y, "bo", markersize=3)
+        ax.set_xlabel("Branch length (mm)", fontsize=7)
+        ax.set_ylabel("Mean curvature (mm^-1)", fontsize=7)
+    return _curvature_panels(segment_info, "meanCurvatureAveragedInmm",
+                             render, path)
+
+
+# ----------------------------------------------------------------------
+# flow-study time-step plots (fluidSimulation.py:4070-4250, 3838-4004)
+# ----------------------------------------------------------------------
+def plot_terminating_pressures_timesteps(net, terminating_nodes, tp_array,
+                                         partitions, option: int = 1,
+                                         path=None):
+    """plotTerminatingPressures2 (fluidSimulation.py:4070-4250):
+    option 1 — one line per terminating node over timesteps, one panel
+    per compartment (plus the compartment means overlaid in the last
+    panel); option 2 — box plot of the per-compartment TP distribution
+    per timestep."""
+    from ..flow.boundary import terminating_nodes_of_partition
+
+    tp_array = np.asarray(tp_array)
+    T = tp_array.shape[1]
+    row_of = {int(n): i for i, n in enumerate(terminating_nodes)}
+    n_panels = len(partitions) + (1 if option == 1 else 0)
+    fig, axes = _new_fig(1, n_panels)
+    for k, (name, part) in enumerate(partitions.items()):
+        ax = axes[0, k]
+        nodes = [n for n in terminating_nodes_of_partition(net, part)
+                 if int(n) in row_of]
+        rows = np.asarray([row_of[int(n)] for n in nodes], int)
+        if option == 1:
+            for r in rows:
+                ax.plot(range(T), tp_array[r], "o-", markersize=2)
+            if len(rows):
+                axes[0, -1].plot(range(T), tp_array[rows].mean(axis=0),
+                                 "o-", label=name, markersize=3)
+        else:
+            if len(rows):
+                ax.boxplot([tp_array[rows, t] for t in range(T)],
+                           positions=list(range(T)))
+        ax.set_title(name, fontsize=8)
+        ax.set_xlabel("Time step", fontsize=7)
+        ax.set_ylabel("Terminating pressure (mmHg)", fontsize=7)
+    if option == 1:
+        axes[0, -1].set_title("Compartment means", fontsize=8)
+        axes[0, -1].legend(prop={"size": 5})
+    return _save(fig, path)
+
+
+def show_result_gbm_test5(store, net, num_timesteps: int = 5,
+                          partitions=None, out_dir: Optional[str] = None,
+                          version: int = 1):
+    """Composite dashboard over the saved per-timestep GBMTest5 pickles
+    (showResult_GBMTest5, fluidSimulation.py:3838-4004): one
+    pressure/flow network plot per timestep plus both terminating-
+    pressure time-step figures.  Returns the collected arrays."""
+    import os
+
+    from ..constants import PASCAL_PER_MMHG
+    from ..flow.boundary import COW_PARTITIONS
+    from .network_plot import plot_network
+
+    if partitions is None:
+        partitions = COW_PARTITIONS
+    deg = net.degree
+    terminating = np.nonzero((deg == 1) & (net.node_depth != 0))[0]
+    tp = np.zeros((len(terminating), num_timesteps))
+    flows = np.zeros((net.num_edges, num_timesteps))
+    figs = []
+    for t in range(num_timesteps):
+        blob = store.load_pickle(
+            "fluidSimulationResult_GBMTest5_Timestep={}_v{}.pkl".format(
+                t, version))
+        pressure = np.asarray(blob["pressure"])
+        flow = np.asarray(blob["flow"])
+        tp[:, t] = pressure[terminating] / PASCAL_PER_MMHG
+        flows[:, t] = flow
+        p = (os.path.join(out_dir, "gbm5_network_t{}.png".format(t))
+             if out_dir else None)
+        figs.append(plot_network(
+            net, node_values=np.round(pressure / PASCAL_PER_MMHG, 1),
+            edge_values=np.round(flow * 1e6, 2),
+            node_colorbar_label="Pressure (mmHg)",
+            edge_colorbar_label="Flow (cm^3/s)",
+            title="GBM_Time step={}".format(t), path=p))
+    for option in (1, 2):
+        p = (os.path.join(out_dir,
+                          "gbm5_tp_option{}.png".format(option))
+             if out_dir else None)
+        figs.append(plot_terminating_pressures_timesteps(
+            net, terminating, tp, partitions, option=option, path=p))
+    return {"terminating_nodes": terminating,
+            "terminating_pressures_mmhg": tp,
+            "flow": flows, "figures": figs}

@@ -82,3 +82,99 @@ def test_skeleton_overlay(tmp_path):
     p = str(tmp_path / "overlay.png")
     plot_skeleton_overlay(segs, values, value_name="pressure", path=p)
     assert os.path.getsize(p) > 1000
+
+
+# ----------------------------------------------------------------------
+# study-plot suite (statistics per partition, fig1-fig18, GBMTest5
+# composite — graphRelated.py:662-1565, fluidSimulation.py:3838-4004)
+# ----------------------------------------------------------------------
+def _partitioned_voxel_net():
+    """Two-compartment voxel tree with branch attrs, partition labels and
+    curvature fields."""
+    from arterynetwork_tpu.graphs.branch_attrs import calculate_branch_info
+    from arterynetwork_tpu.graphs.partitioning import partition_compartments
+    from arterynetwork_tpu.morpho.curvature import calculate_curvature
+    from arterynetwork_tpu.morpho.metrics import calculate_property
+
+    def chain(start, step, n):
+        return [(start[0] + step[0] * i, start[1] + step[1] * i,
+                 start[2] + step[2] * i) for i in range(n)]
+
+    trunk = chain((10, 20, 4), (0, 0, 1), 8)      # root chain
+    j1 = trunk[-1]
+    left = [j1] + chain((10, 21, 12), (0, 1, 1), 7)
+    right = [j1] + chain((10, 19, 12), (0, -1, 1), 7)
+    j2 = left[-1]
+    l1 = [j2] + chain((10, 28, 20), (1, 1, 1), 6)
+    l2 = [j2] + chain((10, 28, 20), (-1, 1, 1), 6)
+    segments = [trunk, left, right, l1, l2]
+    dt = np.full((40, 40, 40), 2.0, np.float32)
+    G = calculate_branch_info(segments, segments, distance_transform=dt)
+    chosen = {"LMCA": {"initial_voxels": [left[1]]},
+              "RMCA": {"initial_voxels": [right[1]]}}
+    # BFS from the root first so depth attrs exist graph-wide
+    from arterynetwork_tpu.graphs.traversal import partition_bfs
+    partition_bfs(G, [trunk[0]], [])
+    partition_info = partition_compartments(G, segments, chosen)
+    node_info, seg_info = calculate_property(G, segments, min_nodes=3)
+    parts_curv = {
+        name: {"initial_voxels": chosen[name]["initial_voxels"],
+               "boundary_voxels": [],
+               "visited_voxels": info["visited_voxels"],
+               "segment_index_list": info["segment_index_list"]}
+        for name, info in partition_info.items()}
+    seg_info = calculate_curvature(G, seg_info, parts_curv,
+                                   spacing_factor_mm=0.4)
+    return G, segments, partition_info, node_info, seg_info
+
+
+def test_statistics_per_partition():
+    from arterynetwork_tpu.viz import (statistics_per_partition,
+                                       statistics_per_partition2)
+    G, segments, partition_info, _, _ = _partitioned_voxel_net()
+    stats = statistics_per_partition(G, segments, partition_info)
+    assert set(stats) == {"Overall", "LMCA", "RMCA"}
+    assert stats["Overall"]["numBranches"] >= 4
+    assert stats["LMCA"]["meanRadius"]["n"] > 0
+    stats2 = statistics_per_partition2(G, segments, partition_info)
+    assert set(stats2) == {"PCA", "MCA", "ACA"}
+    assert stats2["MCA"]["numBranches"] > 0
+
+
+def test_figure_suite_renders(tmp_path):
+    import arterynetwork_tpu.viz as viz
+    G, segments, partition_info, node_info, seg_info = \
+        _partitioned_voxel_net()
+    for name in ("fig1", "fig2", "fig3", "fig4", "fig5", "fig6",
+                 "fig11", "fig11b", "fig12", "fig13", "fig18"):
+        p = str(tmp_path / f"{name}.png")
+        fig = getattr(viz, name)(seg_info, node_info, path=p)
+        assert os.path.exists(p) and os.path.getsize(p) > 1000, name
+
+
+def test_show_result_gbm_test5(tmp_path):
+    import jax.numpy as jnp
+
+    from arterynetwork_tpu.flow import (create_ground_truth,
+                                        save_gbm_test5_results)
+    from arterynetwork_tpu.flow.longitudinal import run_longitudinal
+    from arterynetwork_tpu.io.artifacts import ArtifactStore
+    from arterynetwork_tpu.viz import show_result_gbm_test5
+
+    net, gt = _solved_net(2)
+    parts = _partitions(net)
+    radius_end = net.radius * 0.9
+    batch, sol = run_longitudinal(net, gt.pressure, radius_end,
+                                  num_timesteps=3, partitions=parts,
+                                  dtype=jnp.float64)
+    store = ArtifactStore(str(tmp_path))
+    save_gbm_test5_results(store, net, batch, sol)
+    out = show_result_gbm_test5(store, net, num_timesteps=3,
+                                partitions=parts, out_dir=str(tmp_path))
+    assert out["terminating_pressures_mmhg"].shape[1] == 3
+    assert np.isfinite(out["terminating_pressures_mmhg"]).all()
+    for t in range(3):
+        f = str(tmp_path / f"gbm5_network_t{t}.png")
+        assert os.path.exists(f) and os.path.getsize(f) > 1000
+    for o in (1, 2):
+        assert os.path.getsize(str(tmp_path / f"gbm5_tp_option{o}.png")) > 1000
