@@ -1,0 +1,417 @@
+"""Frontier-tile (block-sparse) variational region growing.
+
+The full-grid kernel (ops/region_grow.py) sweeps the entire volume every
+iteration; once the growing front is thin, almost all of that work
+touches voxels whose state cannot change.  This variant keeps the same
+fixed-point semantics but only *visits tiles that contain boundary
+voxels*:
+
+* The volume is split into (TZ, TY, full-X) tiles.  A per-tile activity
+  set tracks which tiles currently contain inner/outer boundary voxels;
+  flips reactivate the flipped tile and its tile neighbors (a tile with
+  no boundary can only gain one through a neighboring flip).
+* Each iteration compacts the active tile ids (``jnp.nonzero`` with a
+  static bound) and launches ONE Pallas kernel over them
+  (``PrefetchScalarGridSpec``): every grid step DMAs its halo'd tile of
+  the segmentation mask and the bin-index volume HBM->VMEM, evaluates
+  the boundary + flip rule in VMEM, DMAs the updated interior back
+  (``input_output_aliases`` keeps untouched tiles intact), and
+  accumulates the histogram *delta* of the flipped voxels.
+* Region statistics are maintained incrementally: ``inner_hist`` is
+  updated from the per-iteration flip deltas, so no full-volume
+  histogram is ever recomputed; the flip decision table (the sign of
+  ``innerProbNorm - outerProbNorm`` per intensity bin) is a BxB matvec
+  packed into ``num_bins/32`` sign words, evaluated per voxel with
+  shifts (no gather).
+
+Mosaic layout notes (these shaped the kernel):
+* sublane (2nd-minor) slices must be 8-aligned and lane (minor) slices
+  128-aligned or full — so tiles span the FULL x extent, the y halo is
+  8 voxels wide (only 1 is used), and the 26-neighborhood is evaluated
+  with separable roll-based dilations instead of shifted slices
+  (wrap-around garbage lands on box edges the interior never reads);
+* 3D i1 vectors hit relayout bugs — all mask algebra runs in int32;
+* values cannot be dynamically sliced — the histogram delta accumulates
+  over static 8-row blocks, skipped when the block has no flips;
+* Mosaic re-traces reduction lowerings at compile time under the global
+  x64 config, so the x32 context wraps the jitted call, not just the
+  traced body.
+
+Per-voxel decision math is identical to ops/region_grow.py (reference
+``variationalRegionGrowing``, variationalRegionGrowing.py:10-282, with
+the >= tie rule); parity is at the converged fixed point.  Excluded
+voxels (reference state 4) are not supported on this path — callers with
+an ``excluded_mask`` use the full-grid kernel.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .histogram import masked_histogram_one
+from .region_grow import A_NORM, DEFAULT_H, DEFAULT_ITER_MAX, \
+    DEFAULT_MAX_SEGMENT_SIZE, RegionGrowResult, _quantize
+from .stencil import dilate26
+
+_x32 = functools.partial(jax.enable_x64, False)
+
+PADY = 8  # aligned y halo (only the innermost voxel of it is used)
+
+
+def _roll(x, shift, axis):
+    """Circular shift; axis 0 is untiled so static slicing is legal."""
+    if axis == 0:
+        n = x.shape[0]
+        s = (-shift) % n
+        if s == 0:
+            return x
+        return jnp.concatenate([x[s:], x[:s]], axis=0)
+    return pltpu.roll(x, shift % x.shape[axis], axis)
+
+
+def _dilate_full(x):
+    """Separable 26-dilation (includes the center, which all uses mask
+    out by construction).  Wrap-around garbage stays on box edges that
+    the interior never reads."""
+    for axis in range(3):
+        x = jnp.maximum(x, jnp.maximum(_roll(x, 1, axis),
+                                       _roll(x, -1, axis)))
+    return x
+
+
+def _frontier_kernel(TZ, TY, Z, Y, X, Xp, n_ty, num_bins,
+                     ids_ref, nact_ref,              # scalar prefetch
+                     seg_old, seg_next, bins_in, words_ref,  # inputs
+                     seg_out, dhist_ref, flags_ref,  # outputs
+                     seg_box, bin_box, acc, sems):   # scratch
+    # seg_old is the PREVIOUS iteration's volume (all halo reads come
+    # from it: Jacobi semantics — without the split, later grid steps
+    # would see earlier tiles' same-iteration writes through their halos
+    # and the sweep would turn Gauss-Seidel); seg_next is aliased to
+    # seg_out and carries the untouched tiles.
+    del seg_next
+    R = TY + 2 * PADY
+    BZ = TZ + 2
+    W = num_bins // 32
+    step = pl.program_id(0)
+    n_steps = pl.num_programs(0)
+
+    @pl.when(step == 0)
+    def _():
+        acc[:] = jnp.zeros_like(acc)
+
+    flags_ref[step, 0] = 0
+    flags_ref[step, 1] = 0
+
+    valid = step < nact_ref[0]
+
+    @pl.when(valid)
+    def _():
+        tid = ids_ref[step]
+        nty32 = jnp.int32(n_ty)
+        tz = (tid // nty32).astype(jnp.int32)
+        ty = (tid % nty32).astype(jnp.int32)
+        z0 = tz * jnp.int32(TZ)   # global z of the interior start
+        y0 = ty * jnp.int32(TY)   # window start in the padded array
+                                  # == global y of the interior start
+
+        in_seg = pltpu.make_async_copy(
+            seg_old.at[pl.ds(z0, BZ), pl.ds(y0, R), :],
+            seg_box, sems.at[0])
+        in_bin = pltpu.make_async_copy(
+            bins_in.at[pl.ds(z0, BZ), pl.ds(y0, R), :],
+            bin_box, sems.at[1])
+        in_seg.start()
+        in_bin.start()
+        in_seg.wait()
+        in_bin.wait()
+
+        # int32 mask algebra throughout (3D i1 relayouts are fragile)
+        segi = (seg_box[:] != 0).astype(jnp.int32)
+        bins3 = bin_box[:]
+
+        # global coordinates of every box voxel
+        giz = (jax.lax.broadcasted_iota(jnp.int32, (BZ, R, Xp), 0)
+               + z0 - 1)
+        giy = (jax.lax.broadcasted_iota(jnp.int32, (BZ, R, Xp), 1)
+               + y0 - PADY)
+        gix = (jax.lax.broadcasted_iota(jnp.int32, (BZ, R, Xp), 2) - 1)
+        inside = ((giz >= 0) & (giz < Z) & (giy >= 0) & (giy < Y)
+                  & (gix >= 0) & (gix < X)).astype(jnp.int32)
+        interior = ((giz >= z0) & (giz < z0 + TZ)
+                    & (giy >= y0) & (giy < y0 + TY)).astype(jnp.int32)
+
+        unseg = (1 - segi) * inside
+        nbr_seg = _dilate_full(segi)
+        nbr_unseg = _dilate_full(unseg)
+
+        # the dilation includes the center, but on segmented voxels
+        # unseg == 0 and on unsegmented voxels segi == 0, so a voxel
+        # never contributes to its own boundary test
+        inner_bnd = segi * nbr_unseg
+        outer_bnd = (1 - segi) * nbr_seg
+        bnd = jnp.maximum(inner_bnd, outer_bnd) * interior * inside
+
+        # flip rule: sign of innerProbNorm - outerProbNorm at the
+        # voxel's bin, unpacked from packed sign words (no gather)
+        wsel = bins3 >> 5
+        sel = jnp.zeros((BZ, R, Xp), jnp.int32)
+        for k in range(W):
+            sel = jnp.where(wsel == k, words_ref[0, k], sel)
+        ge = (sel >> (bins3 & 31)) & 1
+
+        flips = bnd * jnp.bitwise_xor(segi, ge)
+        seg_new = jnp.bitwise_xor(segi, flips)
+        n_flips = jnp.sum(jnp.sum(flips, axis=0))
+
+        flags_ref[step, 0] = n_flips
+        flags_ref[step, 1] = jnp.max(jnp.max(bnd, axis=0))
+
+        seg_box[:] = seg_new.astype(jnp.uint8)
+        # write back the interior rows; full-x rows are safe (the x halo
+        # is global padding where flips are masked to zero)
+        out_dma = pltpu.make_async_copy(
+            seg_box.at[pl.ds(1, TZ), pl.ds(PADY, TY), :],
+            seg_out.at[pl.ds(z0 + 1, TZ), pl.ds(y0 + PADY, TY), :],
+            sems.at[2])
+        out_dma.start()
+
+        # histogram delta of flipped voxels (+1 newly segmented, -1
+        # newly unsegmented): static 8-row blocks, bins on sublanes of a
+        # broadcast compare, blocks without flips skipped
+        @pl.when(n_flips > 0)
+        def _():
+            sgn = (flips * (2 * seg_new - 1)).astype(jnp.float32)
+            iota_b = jax.lax.broadcasted_iota(
+                jnp.int32, (8, num_bins, Xp), 1)
+            for z in range(1, TZ + 1):
+                for r0 in range(PADY, PADY + TY, 8):
+                    blk_b = bins3[z, r0:r0 + 8, :]
+                    blk_s = sgn[z, r0:r0 + 8, :]
+                    blk_any = jnp.max(jnp.max(jnp.abs(blk_s), axis=0))
+
+                    @pl.when(blk_any > 0)
+                    def _(blk_b=blk_b, blk_s=blk_s):
+                        eq = (blk_b[:, None, :] == iota_b).astype(
+                            jnp.float32)
+                        acc[:] = acc[:] + jnp.sum(
+                            eq * blk_s[:, None, :], axis=0)
+
+        out_dma.wait()
+
+    @pl.when(step == n_steps - 1)
+    def _():
+        dhist_ref[:] = jnp.sum(acc[:], axis=1, keepdims=True)
+
+
+def _pack_sign_words(diff, num_bins):
+    """(diff >= 0) packed LSB-first into num_bins//32 int32 words.
+
+    int32 throughout: the kernel extracts bits with an arithmetic shift
+    followed by ``& 1``, which is sign-extension-proof."""
+    bits = (diff >= 0).astype(jnp.int32)
+    W = num_bins // 32
+    return jnp.sum(bits.reshape(W, 32)
+                   << jnp.arange(32, dtype=jnp.int32)[None, :],
+                   axis=1, dtype=jnp.int32).reshape(1, W)
+
+
+def _dilate_tiles(active_2d):
+    """8-neighborhood + self dilation on the (ntz, nty) tile grid."""
+    p = jnp.pad(active_2d, 1)
+    out = active_2d
+    for dz in (-1, 0, 1):
+        for dy in (-1, 0, 1):
+            out = out | p[1 + dz:p.shape[0] - 1 + dz,
+                          1 + dy:p.shape[1] - 1 + dy]
+    return out
+
+
+def region_grow_frontier(
+    data,
+    seed_mask,
+    H: float = DEFAULT_H,
+    max_segment_size: int = DEFAULT_MAX_SEGMENT_SIZE,
+    iter_max: int = DEFAULT_ITER_MAX,
+    num_bins: int = 256,
+    tile=(8, 16),
+    k_max: int = 256,
+    interpret: bool = False,
+) -> RegionGrowResult:
+    """Frontier-tile region growing (same fixed point as ``region_grow``
+    with ``excluded_mask=None``)."""
+    assert num_bins % 32 == 0
+    with _x32():
+        return _region_grow_frontier_jit(
+            jnp.asarray(data), jnp.asarray(seed_mask), float(H),
+            int(max_segment_size), int(iter_max), int(num_bins),
+            tuple(tile), int(k_max), bool(interpret))
+
+
+_JIT_STATICS = ("H", "max_segment_size", "iter_max", "num_bins", "tile",
+                "k_max", "interpret")
+
+
+@functools.partial(jax.jit, static_argnames=_JIT_STATICS)
+def _region_grow_frontier_jit(data, seed_mask, H, max_segment_size,
+                              iter_max, num_bins, tile, k_max, interpret):
+    TZ, TY = tile
+    assert TY % 8 == 0, "TY must be sublane-aligned"
+    Z, Y, X = data.shape
+    ntz = -(-Z // TZ)
+    nty = -(-Y // TY)
+    NT = ntz * nty
+    k_max = min(k_max, NT)
+    Zt, Yt = ntz * TZ, nty * TY
+
+    data = data.astype(jnp.float32)
+    seg0 = seed_mask.astype(jnp.bool_)
+    bin_idx, bin_values = _quantize(data, num_bins)
+
+    # one-time full-grid setup: histograms and the initial frontier
+    hist_all = masked_histogram_one(
+        bin_idx.reshape(-1), jnp.ones((Z * Y * X,), jnp.bool_),
+        num_bins).astype(jnp.float32)
+    inner_hist0 = masked_histogram_one(
+        bin_idx.reshape(-1), seg0.reshape(-1), num_bins).astype(jnp.float32)
+
+    bnd0 = (seg0 & dilate26(~seg0)) | ((~seg0) & dilate26(seg0))
+    bnd_pad = jnp.zeros((Zt, Yt, X), jnp.bool_).at[:Z, :Y, :].set(bnd0)
+    active0 = bnd_pad.reshape(ntz, TZ, nty, TY, X).any(axis=(1, 3, 4))
+
+    # halo'd volumes: z halo 1, y halo PADY (aligned), x halo 1 then
+    # padded up to a 128-lane multiple (HBM memrefs are lane-tiled and
+    # partial-lane DMA slices are illegal); padding is "outside"
+    Xp = -(-(X + 2) // 128) * 128
+    seg_pad0 = jnp.zeros((Zt + 2, Yt + 2 * PADY, Xp), jnp.uint8)
+    seg_pad0 = seg_pad0.at[1:Z + 1, PADY:PADY + Y, 1:X + 1].set(
+        seg0.astype(jnp.uint8))
+    # int32 bins: a uint8 wire was tried and lost — the in-kernel
+    # int8->int32 relayout costs more than the DMA it saves
+    bins_pad = jnp.zeros((Zt + 2, Yt + 2 * PADY, Xp), jnp.int32)
+    bins_pad = bins_pad.at[1:Z + 1, PADY:PADY + Y, 1:X + 1].set(bin_idx)
+
+    diff_bins = bin_values[:, None] - bin_values[None, :]
+    K = (A_NORM * jnp.exp(-0.5 * H * diff_bins * diff_bins)).astype(
+        jnp.float32)
+
+    W = num_bins // 32
+    BZ, R = TZ + 2, TY + 2 * PADY
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(k_max,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((1, W), lambda i, *_: (0, 0),
+                         memory_space=pltpu.SMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((num_bins, 1), lambda i, *_: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((k_max, 2), lambda i, *_: (0, 0),
+                         memory_space=pltpu.SMEM),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((BZ, R, Xp), jnp.uint8),
+            pltpu.VMEM((BZ, R, Xp), jnp.int32),
+            pltpu.VMEM((num_bins, Xp), jnp.float32),
+            pltpu.SemaphoreType.DMA((3,)),
+        ],
+    )
+    kernel = functools.partial(_frontier_kernel, TZ, TY, Z, Y, X, Xp,
+                               nty, num_bins)
+
+    def launch(seg_pad, ids, nact, words):
+        # double buffer: halo reads come from seg_pad (old), interiors
+        # are written into a fresh copy aliased to the output
+        seg_next = seg_pad + jnp.uint8(0)
+        return pl.pallas_call(
+            kernel,
+            grid_spec=grid_spec,
+            out_shape=[
+                jax.ShapeDtypeStruct(seg_pad.shape, jnp.uint8),
+                jax.ShapeDtypeStruct((num_bins, 1), jnp.float32),
+                jax.ShapeDtypeStruct((k_max, 2), jnp.int32),
+            ],
+            input_output_aliases={3: 0},  # seg_next (after 2 prefetch args)
+            compiler_params=pltpu.CompilerParams(has_side_effects=True),
+            interpret=interpret,
+        )(ids, nact, seg_pad, seg_next, bins_pad, words)
+
+    def cond(state):
+        return state[-1] < 0
+
+    def body(state):
+        seg_pad, inner_hist, active, it, stop = state
+        count = jnp.sum(inner_hist).astype(jnp.int32)
+        size_capped = count >= max_segment_size
+
+        inner_size = jnp.maximum(jnp.sum(inner_hist), 1.0)
+        outer_hist = hist_all - inner_hist
+        outer_size = jnp.maximum(jnp.sum(outer_hist), 1.0)
+        diff = (K @ inner_hist) / inner_size - (K @ outer_hist) / outer_size
+        words = _pack_sign_words(diff, num_bins)
+
+        active_flat = active.reshape(-1)
+        n_active = jnp.sum(active_flat, dtype=jnp.int32)
+        ids = jnp.nonzero(active_flat, size=k_max, fill_value=0)[0]
+        ids = ids.astype(jnp.int32)
+        nact = jnp.minimum(n_active, k_max).reshape(1)
+
+        def run(seg_pad, inner_hist, active):
+            seg_new, dhist, flags = launch(seg_pad, ids, nact, words)
+            valid = (jnp.arange(k_max, dtype=jnp.int32)
+                     < nact[0]).astype(jnp.int32)
+            nf = flags[:, 0] * valid
+            hb = flags[:, 1] * valid
+            total_flips = jnp.sum(nf)
+
+            nf_t = jnp.zeros((NT,), jnp.int32).at[ids].max(nf)
+            hb_t = jnp.zeros((NT,), jnp.int32).at[ids].max(hb)
+            proc = jnp.zeros((NT,), jnp.int32).at[ids].max(valid)
+
+            flipped = (nf_t > 0).reshape(ntz, nty)
+            keep = (hb_t > 0).reshape(ntz, nty)
+            unproc = (active_flat & (proc == 0)).reshape(ntz, nty)
+            active_new = unproc | keep | _dilate_tiles(flipped)
+            inner_new = inner_hist + dhist.reshape(-1)
+            return seg_new, inner_new, active_new, total_flips
+
+        def skip(seg_pad, inner_hist, active):
+            return seg_pad, inner_hist, active, jnp.int32(0)
+
+        seg_new, inner_new, active_new, total_flips = jax.lax.cond(
+            size_capped, skip, run, seg_pad, inner_hist, active)
+
+        processed_all = n_active <= k_max
+        converged = (total_flips == 0) & processed_all & ~size_capped
+        # iterations count applied updates only (the full-grid kernel and
+        # the reference do not count the converged/capped final check)
+        it_new = it + jnp.where(size_capped | converged, 0, 1)
+        stop = jnp.where(converged, 0,
+                         jnp.where(size_capped, 1,
+                                   jnp.where(it_new >= iter_max, 2, -1)))
+        return (seg_new, inner_new, active_new, it_new,
+                stop.astype(jnp.int32))
+
+    state0 = (seg_pad0, inner_hist0, active0, jnp.zeros((), jnp.int32),
+              jnp.full((), -1, jnp.int32))
+    seg_pad, inner_hist, active, it, stop = jax.lax.while_loop(
+        cond, body, state0)
+
+    seg = seg_pad[1:Z + 1, PADY:PADY + Y, 1:X + 1] != 0
+    return RegionGrowResult(
+        segmented_map=seg,
+        active_map=jnp.ones_like(seg),
+        iterations=it,
+        segmented_count=jnp.sum(seg, dtype=jnp.int32),
+        stop_reason=stop)

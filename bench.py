@@ -239,12 +239,30 @@ def bench_region_grow():
     t0 = time.perf_counter()
     it, n = run()
     t = time.perf_counter() - t0
+
+    from arterynetwork_tpu.ops.region_grow_frontier import region_grow_frontier
+
+    def run_frontier():
+        res = region_grow_frontier(dvol, dseed, max_segment_size=10 ** 6,
+                                   iter_max=300)
+        it = int(jax.device_get(res.iterations))
+        n = int(jax.device_get(res.segmented_count))
+        return it, n
+
+    itf, nf = run_frontier()
+    t0 = time.perf_counter()
+    itf, nf = run_frontier()
+    tf = time.perf_counter() - t0
+    assert nf == n, (nf, n)
+
     voxels = float(np.prod(shape))
     return {
         "region_grow_s": t,
         "region_grow_iters": it,
         "region_grow_segmented": n,
         "region_grow_voxel_sweeps_per_s": voxels * it / t,
+        "region_grow_frontier_s": tf,
+        "region_grow_frontier_speedup": t / tf,
     }
 
 
