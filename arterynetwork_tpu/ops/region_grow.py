@@ -15,6 +15,15 @@ iteration is a fused full-grid computation:
    on the bin grid (integer/binary phantoms), and a B-bin approximation for
    continuous vesselness data.  This replaces O(|boundary| * |region|)
    Python work with one tiny matmul and two gathers.
+
+   Fixed-point agreement with the boundary-list reference oracle on
+   continuous noisy data is ~99.997% and *independent of B* (measured at
+   B = 256..16384, and unchanged when the input is pre-quantized to the
+   bin grid, i.e. when the histogram math is exact): the residual few
+   voxels come from the reference's order-dependent incremental
+   probability repair flipping near-ties differently from a synchronous
+   sweep — SURVEY.md's documented "order-dependent tie behavior" hard
+   part.  Parity is exact on the reference's own phantom fixtures.
 2. **Boundary masks by dilation.**  inner boundary = segmented voxels with
    an unsegmented 26-neighbor; outer boundary = active unsegmented voxels
    with a segmented 26-neighbor (reference update(), :124-155).
