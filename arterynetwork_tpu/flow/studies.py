@@ -11,7 +11,10 @@ structured result dict; figures are composed separately in
 ``viz.study_plots``.  Where the reference runs a multi-minute
 basinhopping per timestep serially, the solver-based studies (test6,
 GBMTest4) run one exact Newton solve per timestep, batched with vmap on
-the accelerator.
+the accelerator.  (GBMTest6, fluidSimulation.py:2388, is GBMTest5 with
+retuned basinhopping temperature/stepsize — escape-from-bad-basin knobs
+that have no analog in an exact Newton solve; flow.longitudinal covers
+both.)
 """
 
 from __future__ import annotations

@@ -377,6 +377,51 @@ def bench_pipeline_512():
     }
 
 
+def bench_speck_region_grow():
+    """BASELINE config 5 scale: 880x880x640 (496M voxels) region grow on
+    one chip — full-grid voxel-sweep rate and the frontier-tile kernel.
+    (The reference advises manually splitting volumes of this size and
+    caps its grower at 120 s wall clock / 200 iterations.)"""
+    import jax
+    import jax.numpy as jnp
+
+    from arterynetwork_tpu.ops.region_grow import region_grow
+    from arterynetwork_tpu.ops.region_grow_frontier import region_grow_frontier
+
+    shape = (880, 880, 640)
+    vol, seed = _tube_phantom(shape, radius=3)
+    dvol, dseed = jnp.asarray(vol), jnp.asarray(seed)
+    del vol
+
+    iters = 60
+
+    def run_full():
+        res = region_grow(dvol, dseed, max_segment_size=10 ** 7,
+                          iter_max=iters)
+        return int(jax.device_get(res.iterations))
+
+    def run_frontier():
+        res = region_grow_frontier(dvol, dseed, max_segment_size=10 ** 7,
+                                   iter_max=iters)
+        return int(jax.device_get(res.iterations))
+
+    it = run_full()
+    t0 = time.perf_counter()
+    it = run_full()
+    t_full = time.perf_counter() - t0
+    itf = run_frontier()
+    t0 = time.perf_counter()
+    itf = run_frontier()
+    t_front = time.perf_counter() - t0
+    voxels = float(np.prod(shape))
+    return {
+        "speck_region_grow_s": t_full,
+        "speck_region_grow_voxel_sweeps_per_s": voxels * it / t_full,
+        "speck_region_grow_frontier_s": t_front,
+        "speck_region_grow_frontier_speedup": t_full / t_front,
+    }
+
+
 def main():
     detail = {}
     detail.update(bench_pipeline_512())
@@ -385,6 +430,10 @@ def main():
     detail.update(bench_flow_large())
     detail.update(bench_config1_speedup())
     detail.update(bench_region_grow_speedup())
+    try:
+        detail.update(bench_speck_region_grow())
+    except Exception as e:  # Speck scale is memory-hungry; never fail the run
+        detail["speck_error"] = str(e)[:200]
 
     record = {
         "metric": "region_grow_voxel_sweeps_per_s_512",

@@ -173,11 +173,32 @@ long thin_volume(uint8_t* vol, int nz, int ny, int nx,
     long deleted_total = 0;
     int max_level = dist2 ? static_cast<int>(std::sqrt(max_d2)) + 1 : 1;
 
-    // Worklist processing: one full scan per distance level to seed the
-    // queue, then queue-driven rechecks (neighbors of deletions), instead
-    // of repeated full-volume rescans.
-    std::vector<long> queue;
+    // Worklist processing: ONE scan buckets boundary-exposed foreground
+    // voxels by the first distance level that admits them; each level
+    // then drains its bucket plus the leftovers of earlier levels, with
+    // queue-driven rechecks (neighbors of deletions).  Interior voxels
+    // are never seeded — they can only become deletable when a 6-neighbor
+    // is deleted, which re-pushes them.
+    std::vector<long> queue, leftover;
     queue.reserve(1 << 16);
+    leftover.reserve(1 << 16);
+    std::vector<std::vector<long>> buckets(
+        static_cast<size_t>(max_level) + 2);
+    for (int z = 0; z < nz; ++z)
+        for (int y = 0; y < ny; ++y)
+            for (int x = 0; x < nx; ++x) {
+                long i = v.idx(z, y, x);
+                if (!vol[i] || !has_bg6(v, z, y, x)) continue;
+                int lvl = 1;
+                if (dist2) {
+                    float d2 = dist2[i];
+                    while (lvl <= max_level
+                           && static_cast<float>(lvl) * lvl + 0.5f < d2)
+                        ++lvl;
+                }
+                buckets[lvl].push_back(i);
+            }
+
     auto consider = [&](int z, int y, int x, float lvl2) -> bool {
         long i = v.idx(z, y, x);
         if (!vol[i]) return false;
@@ -195,29 +216,42 @@ long thin_volume(uint8_t* vol, int nz, int ny, int nx,
         float lvl2 = (level <= max_level)
             ? static_cast<float>(level) * level + 0.5f : 3.0e38f;
         queue.clear();
-        for (int z = 0; z < nz; ++z)
-            for (int y = 0; y < ny; ++y)
-                for (int x = 0; x < nx; ++x) {
-                    long i = v.idx(z, y, x);
-                    if (vol[i] && (!dist2 || dist2[i] <= lvl2)
-                        && has_bg6(v, z, y, x))
-                        queue.push_back(i);
-                }
+        queue.swap(leftover);
+        if (level < static_cast<int>(buckets.size())) {
+            queue.insert(queue.end(), buckets[level].begin(),
+                         buckets[level].end());
+            buckets[level].clear();
+        }
         for (size_t qi = 0; qi < queue.size(); ++qi) {
             long i = queue[qi];
             int x = static_cast<int>(i % nx);
             int y = static_cast<int>((i / nx) % ny);
             int z = static_cast<int>(i / (static_cast<long>(nx) * ny));
-            if (!consider(z, y, x, lvl2)) continue;
-            // re-examine neighbors of the deleted voxel
+            if (!consider(z, y, x, lvl2)) {
+                // still foreground: stays a candidate for later levels
+                if (vol[i] && level <= max_level) leftover.push_back(i);
+                continue;
+            }
+            // re-examine neighbors of the deleted voxel; a deeper
+            // neighbor exposed before its admission level is deferred
+            // into its own bucket (the old full rescan caught these)
             for (int k = 0; k < 26; ++k) {
                 int zz = z + OFF[k][0], yy = y + OFF[k][1],
                     xx = x + OFF[k][2];
                 if (zz < 0 || yy < 0 || xx < 0 || zz >= nz || yy >= ny
                     || xx >= nx) continue;
                 long j = v.idx(zz, yy, xx);
-                if (vol[j] && (!dist2 || dist2[j] <= lvl2))
+                if (!vol[j]) continue;
+                if (!dist2 || dist2[j] <= lvl2) {
                     queue.push_back(j);
+                } else {
+                    int lvlj = level + 1;
+                    float d2j = dist2[j];
+                    while (lvlj <= max_level
+                           && static_cast<float>(lvlj) * lvlj + 0.5f < d2j)
+                        ++lvlj;
+                    buckets[lvlj].push_back(j);
+                }
             }
         }
     }

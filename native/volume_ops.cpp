@@ -74,18 +74,30 @@ void edt3d_sq(const uint8_t* mask, int nz, int ny, int nx, float* out) {
     const long plane = static_cast<long>(ny) * nx;
     const long total = static_cast<long>(nz) * plane;
 
+    // foreground projections: a later-pass column whose input is all
+    // zero produces all zero (the envelope of zero parabolas), so empty
+    // columns are skipped outright — vessels occupy <1% of an MRA and
+    // the nonzero support of every pass equals the foreground support
+    std::vector<uint8_t> proj_zx(static_cast<size_t>(nz) * nx, 0);
+    std::vector<uint8_t> proj_yx(static_cast<size_t>(ny) * nx, 0);
+
     // pass 1 (x, contiguous): exact 1D distance to nearest 0 per row
 #pragma omp parallel
     {
         std::vector<float> buf(nx);
 #pragma omp for schedule(static)
         for (long r = 0; r < static_cast<long>(nz) * ny; ++r) {
+            const int zi = static_cast<int>(r / ny);
+            const int yi = static_cast<int>(r % ny);
             const uint8_t* m = mask + r * nx;
             float* o = out + r * nx;
+            uint8_t* pzx = proj_zx.data() + static_cast<long>(zi) * nx;
+            uint8_t* pyx = proj_yx.data() + static_cast<long>(yi) * nx;
             float run = kLarge;
             for (int x = 0; x < nx; ++x) {
                 run = m[x] ? ((run >= kLarge) ? kLarge : run + 1.0f) : 0.0f;
                 buf[x] = run;
+                if (m[x]) { pzx[x] = 1; pyx[x] = 1; }
             }
             run = kLarge;
             for (int x = nx - 1; x >= 0; --x) {
@@ -102,20 +114,24 @@ void edt3d_sq(const uint8_t* mask, int nz, int ny, int nx, float* out) {
     // one-column-at-a-time at MRA strides).
     constexpr int TILE = 64;
     auto strided_pass = [&](int len, long stride, long n_cols,
-                            auto col_base) {
+                            auto col_base, auto col_nonempty) {
 #pragma omp parallel
         {
             std::vector<float> tile(static_cast<size_t>(TILE) * len);
             std::vector<float> d(len), z(len + 1);
             std::vector<int> v(len);
+            std::vector<long> cols(TILE);
 #pragma omp for schedule(static)
             for (long c0 = 0; c0 < n_cols; c0 += TILE) {
-                int w = static_cast<int>(
-                    c0 + TILE <= n_cols ? TILE : n_cols - c0);
+                long c1 = c0 + TILE <= n_cols ? c0 + TILE : n_cols;
+                int w = 0;
+                for (long c = c0; c < c1; ++c)
+                    if (col_nonempty(c)) cols[w++] = c;
+                if (w == 0) continue;
                 for (int i = 0; i < len; ++i) {
                     for (int j = 0; j < w; ++j)
                         tile[static_cast<size_t>(j) * len + i] =
-                            col_base(c0 + j)[static_cast<long>(i) * stride];
+                            col_base(cols[j])[static_cast<long>(i) * stride];
                 }
                 for (int j = 0; j < w; ++j) {
                     float* f = tile.data() + static_cast<size_t>(j) * len;
@@ -124,7 +140,7 @@ void edt3d_sq(const uint8_t* mask, int nz, int ny, int nx, float* out) {
                 }
                 for (int i = 0; i < len; ++i) {
                     for (int j = 0; j < w; ++j)
-                        col_base(c0 + j)[static_cast<long>(i) * stride] =
+                        col_base(cols[j])[static_cast<long>(i) * stride] =
                             tile[static_cast<size_t>(j) * len + i];
                 }
             }
@@ -132,12 +148,15 @@ void edt3d_sq(const uint8_t* mask, int nz, int ny, int nx, float* out) {
     };
 
     // pass 2 (y): columns indexed by (z, x), consecutive x are contiguous
-    strided_pass(ny, nx, static_cast<long>(nz) * nx, [&](long c) {
-        long zi = c / nx, x = c % nx;
-        return out + zi * plane + x;
-    });
+    strided_pass(ny, nx, static_cast<long>(nz) * nx,
+                 [&](long c) {
+                     long zi = c / nx, x = c % nx;
+                     return out + zi * plane + x;
+                 },
+                 [&](long c) { return proj_zx[c] != 0; });
     // pass 3 (z): columns indexed by (y, x) = flat plane offset
-    strided_pass(nz, plane, plane, [&](long c) { return out + c; });
+    strided_pass(nz, plane, plane, [&](long c) { return out + c; },
+                 [&](long c) { return proj_yx[c] != 0; });
 
     // foreground-only contract: background stays exactly 0; a foreground
     // volume with no background at all keeps the LARGE sentinel
