@@ -61,6 +61,90 @@ def _cmd_vesselness(args):
     print(f"wrote {args.output}")
 
 
+def _cmd_study(args):
+    """Run a longitudinal flow study (reference test1-6 / GBMTest4/5
+    drivers) on a synthetic partitioned tree or a legacy network dir."""
+    import numpy as np
+
+    from .flow import (create_ground_truth, flow_split_study, gbm_test4,
+                       same_flow_study, save_gbm_test5_results,
+                       tp_fit_solve_study, two_timepoint_comparison)
+    from .flow.boundary import bfs_partition
+    from .graphs import generate_tree, set_network_properties
+    from .io.artifacts import ArtifactStore
+
+    rng = np.random.default_rng(args.seed)
+    if args.network_dir:
+        from .flow.network_setup import convert_network, load_network
+        loaded = load_network(args.network_dir, version=args.version)
+        net, _ = convert_network(loaded)
+        roots = np.nonzero(net.node_depth == 1)[0][:2]
+    else:
+        net = set_network_properties(
+            generate_tree(max_depth=args.depth, rng=rng), rng=rng)
+        roots = np.nonzero(net.node_depth == 1)[0]
+    partitions = {f"P{i}": {"start_nodes": [int(r)], "boundary_nodes": []}
+                  for i, r in enumerate(roots)}
+
+    radius_end = net.radius.copy()
+    shrink_edges = bfs_partition(
+        net, partitions[next(iter(partitions))]["start_nodes"],
+        [])["visited_edges"]
+    radius_end[shrink_edges] *= args.shrink
+
+    store = ArtifactStore(args.out)
+    common = dict(num_timesteps=args.timesteps,
+                  interpolation_option=args.interpolation,
+                  partitions=partitions)
+    if args.name == "flow_split":
+        out = flow_split_study(net, radius_end, **common)
+    elif args.name == "same_flow":
+        out = same_flow_study(net, radius_end, **common)
+    elif args.name == "two_timepoint":
+        out = two_timepoint_comparison(net, radius_end)
+    elif args.name == "tp_fit":
+        out = tp_fit_solve_study(net, radius_end, store=store, **common)
+    elif args.name == "gbm4":
+        out = gbm_test4(net, partitions=partitions,
+                        partition_to_perturb=(next(iter(partitions)),),
+                        store=store)
+    elif args.name == "gbm5":
+        import jax.numpy as jnp
+
+        from .flow.longitudinal import run_longitudinal
+        from .viz import show_result_gbm_test5
+
+        gt = create_ground_truth(net, option=2, rng=rng)
+        batch, sol = run_longitudinal(
+            net, gt.pressure, radius_end, num_timesteps=args.timesteps,
+            interpolation_option=args.interpolation,
+            partitions=partitions, dtype=jnp.float64)
+        save_gbm_test5_results(store, net, batch, sol)
+        out = show_result_gbm_test5(store, net,
+                                    num_timesteps=args.timesteps,
+                                    partitions=partitions,
+                                    out_dir=args.out)
+    else:
+        raise SystemExit(f"unknown study {args.name}")
+
+    def _clean(v):
+        if isinstance(v, dict):
+            return {k: _clean(x) for k, x in v.items()}
+        if isinstance(v, np.ndarray):
+            return {"shape": list(v.shape),
+                    "mean": float(np.nanmean(v)) if v.size else None}
+        if isinstance(v, (list, tuple)):
+            if len(v) > 12:
+                return f"[{len(v)} items]"
+            return [_clean(x) for x in v]
+        if isinstance(v, (np.integer, np.floating)):
+            return float(v)
+        return v if isinstance(v, (int, float, str, bool, type(None))) \
+            else str(type(v).__name__)
+
+    print(json.dumps(_clean(dict(out)), indent=2, default=str))
+
+
 def _cmd_info(_args):
     import jax
 
@@ -92,6 +176,25 @@ def main(argv=None):
     pv.add_argument("output")
     pv.add_argument("--sigmas", default="1.0,2.0,3.0")
     pv.set_defaults(fn=_cmd_vesselness)
+
+    ps = sub.add_parser("study", help="longitudinal flow studies "
+                        "(test1-6 / GBMTest4/5 drivers)")
+    ps.add_argument("name", choices=("flow_split", "same_flow",
+                                     "two_timepoint", "tp_fit", "gbm4",
+                                     "gbm5"))
+    ps.add_argument("--out", required=True)
+    ps.add_argument("--timesteps", type=int, default=4)
+    ps.add_argument("--interpolation", type=int, default=1,
+                    help="1=linear, 2=tanh (fluidSimulation.py:3177-3190)")
+    ps.add_argument("--shrink", type=float, default=0.85,
+                    help="end-timepoint radius factor on one compartment")
+    ps.add_argument("--depth", type=int, default=6,
+                    help="synthetic tree depth when no --network-dir")
+    ps.add_argument("--seed", type=int, default=0)
+    ps.add_argument("--network-dir", default=None,
+                    help="legacy pickle bundle directory (loadNetwork)")
+    ps.add_argument("--version", type=int, default=4)
+    ps.set_defaults(fn=_cmd_study)
 
     pi = sub.add_parser("info", help="backend/device info")
     pi.set_defaults(fn=_cmd_info)

@@ -45,3 +45,23 @@ def test_cli_info(capsys):
     main(["info"])
     info = json.loads(capsys.readouterr().out)
     assert "devices" in info and info["backend"] in ("cpu", "tpu")
+
+
+def test_cli_study_flow_split(tmp_path, capsys):
+    from arterynetwork_tpu.__main__ import main
+    main(["study", "flow_split", "--out", str(tmp_path),
+          "--timesteps", "3", "--depth", "5"])
+    out = json.loads(capsys.readouterr().out)
+    assert out["failed_timesteps"] == []
+    assert "terminating_pressures_mmhg" in out
+    assert out["terminating_pressures_mmhg"]["shape"][1] == 3
+
+
+def test_cli_study_gbm5(tmp_path, capsys):
+    from arterynetwork_tpu.__main__ import main
+    main(["study", "gbm5", "--out", str(tmp_path),
+          "--timesteps", "3", "--depth", "5"])
+    json.loads(capsys.readouterr().out)
+    assert (tmp_path / "fluidSimulationResult_GBMTest5_Timestep=1_v1.pkl"
+            ).exists()
+    assert (tmp_path / "gbm5_network_t0.png").exists()
