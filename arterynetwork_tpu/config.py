@@ -64,6 +64,10 @@ class FlowConfig:
     tol: float = 1e-14
     linear_solver: str = "dense"             # "dense" | "cg"
     dtype: str = "float64"                   # "float32" on TPU
+    # "soa": segments+attrs -> FlowNetwork directly (graphs/soa_path.py);
+    # "nx": via the voxel-level networkx graph (needed for graphml
+    # artifacts / editing; always used when a store is given for those)
+    graph_path: str = "soa"
 
 
 @dataclasses.dataclass

@@ -190,21 +190,52 @@ def skeletonize_stage(mask, config=None, store=None, affine=None,
 
 
 def graph_stage(skeleton, mask, config=None, store=None,
-                distance_transform=None):
-    """Skeleton -> simple-branch segments + attributed voxel graph
-    (C5/C6/C7)."""
-    from .graphs.branch_attrs import calculate_branch_info
+                distance_transform=None, build_nx: bool = True):
+    """Skeleton -> simple-branch segments + branch attributes (C5/C6/C7).
+
+    Returns (G, segments, attrs).  ``build_nx=False`` skips the voxel-
+    level networkx graph (G is None) — the SoA flow path and per-segment
+    ``attrs`` carry everything the solve needs; the nx graph is only
+    required for graphml artifacts, the editing engine and voxel-level
+    morphology.
+    """
+    from .graphs.branch_attrs import calculate_branch_info, \
+        compute_branch_attrs
     from .graphs.segments import skeleton_to_segments
 
     cfg = (config or PipelineConfig()).skeleton
     _, segments = skeleton_to_segments(
-        skeleton, prune_min_length=cfg.prune_min_length)
-    G = calculate_branch_info(segments, segments, vessel_volume=mask,
-                              distance_transform=distance_transform)
+        skeleton, prune_min_length=cfg.prune_min_length, build_graph=False)
+    if distance_transform is None:
+        from .ops.native import bounding_box, edt_native
+        vv = np.asarray(mask) != 0
+        box = bounding_box(vv, margin=2)
+        distance_transform = np.zeros(vv.shape, np.float32)
+        distance_transform[box] = edt_native(vv[box])
+    attrs = compute_branch_attrs(segments, segments, distance_transform)
+    G = None
+    if build_nx or store is not None:
+        G = calculate_branch_info(segments, segments,
+                                  distance_transform=distance_transform)
     if store is not None:
         store.save_segment_list("segmentList.npz", segments)
         store.save_graphml("graphRepresentationCleanedWithEdgeInfo.graphml", G)
-    return G, segments
+    return G, segments, attrs
+
+
+def flow_stage_soa(segments, attrs, root, config=None, store=None,
+                   boundary_pressure=None, ground_truth_option=2,
+                   rng=None):
+    """Segments + branch attrs -> FlowNetwork -> solved flows, without
+    materializing the voxel-level networkx graph (graphs/soa_path.py)."""
+    from .graphs.soa_path import segments_to_flow_network
+
+    cfg = (config or PipelineConfig()).flow
+    net, node_of = segments_to_flow_network(segments, attrs, root,
+                                            spacing=cfg.spacing)
+    return _solve_network(net, node_of, cfg, store=store,
+                          boundary_pressure=boundary_pressure,
+                          ground_truth_option=ground_truth_option, rng=rng)
 
 
 def flow_stage(G, segments, root, config=None, store=None,
@@ -212,10 +243,6 @@ def flow_stage(G, segments, root, config=None, store=None,
                rng=None):
     """Attributed voxel graph -> reduced FlowNetwork -> solved flows
     (C12-C17)."""
-    import jax.numpy as jnp
-
-    from .flow import build_system, create_ground_truth, solve_pressure_newton
-    from .flow.adan import set_network_ck
     from .graphs.traversal import (partition_bfs, reduce_graph,
                                    reduced_to_flow_network)
 
@@ -229,6 +256,18 @@ def flow_stage(G, segments, root, config=None, store=None,
                       (seg[0], seg[-1]))]
     DG = reduce_graph(G, segments, reached)
     net, node_of = reduced_to_flow_network(DG, root, spacing=cfg.spacing)
+    return _solve_network(net, node_of, cfg, store=store,
+                          boundary_pressure=boundary_pressure,
+                          ground_truth_option=ground_truth_option, rng=rng)
+
+
+def _solve_network(net, node_of, cfg, store=None, boundary_pressure=None,
+                   ground_truth_option=2, rng=None):
+    import jax.numpy as jnp
+
+    from .flow import build_system, create_ground_truth, solve_pressure_newton
+    from .flow.adan import set_network_ck
+
     net = set_network_ck(net)
 
     if boundary_pressure is None:
@@ -318,24 +357,37 @@ def run_pipeline(vesselness=None, brain_mask=None, seed_mask=None,
     timings.add("skeletonization", time.perf_counter() - t0)
 
     t0 = time.perf_counter()
-    G, segments = graph_stage(skeleton, mask, config, store=store,
-                              distance_transform=dt)
+    G, segments, attrs = graph_stage(
+        skeleton, mask, config, store=store, distance_transform=dt,
+        build_nx=(config.flow.graph_path == "nx"))
     timings.add("graph", time.perf_counter() - t0)
 
     if root is None:
-        tips = [n for n in G.nodes() if G.degree(n) == 1]
+        # inlet = the lowest-x terminal endpoint (endpoint degree = its
+        # chain-end count; 1 = tip)
+        counts: Dict = {}
+        for seg in segments:
+            for v in (tuple(seg[0]), tuple(seg[-1])):
+                counts[v] = counts.get(v, 0) + 1
+        tips = [v for v, c in counts.items() if c == 1]
         if not tips:
             raise RuntimeError("no terminal voxels found for the inlet")
         root = min(tips, key=lambda v: v[2])
 
     t0 = time.perf_counter()
-    net, sol, node_of = flow_stage(G, segments, root, config, store=store)
+    if G is not None and config.flow.graph_path == "nx":
+        net, sol, node_of = flow_stage(G, segments, root, config,
+                                       store=store)
+    else:
+        net, sol, node_of = flow_stage_soa(segments, attrs, root, config,
+                                           store=store)
     timings.add("flow", time.perf_counter() - t0)
 
     return {
         "mask": mask,
         "skeleton": skeleton,
         "graph": G,
+        "attrs": attrs,
         "segments": segments,
         "network": net,
         "solution": sol,

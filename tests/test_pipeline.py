@@ -107,3 +107,55 @@ def test_pipeline_from_raw_volume(tmp_path):
     assert len(result["segments"]) >= 1
     assert "vesselness" in result["timings"]
     assert np.isfinite(np.asarray(result["solution"].pressure)).all()
+
+
+def test_soa_flow_path_matches_nx_path():
+    """The SoA fast path (segments+attrs -> FlowNetwork) produces the
+    same network as the networkx route on a tree-like skeleton."""
+    import numpy as np
+
+    from arterynetwork_tpu.pipeline import (flow_stage, flow_stage_soa,
+                                            graph_stage)
+
+    vol = _y_phantom()
+    mask = (vol > 0.5).astype(np.uint8)
+    from arterynetwork_tpu.pipeline import compute_mask_edt, \
+        skeletonize_stage
+    cfg = PipelineConfig()
+    cfg.skeleton.backend = "native"
+    cfg.skeleton.prune_min_length = 4
+    cfg.flow.dtype = "float64"
+    dt = compute_mask_edt(mask)
+    skel = skeletonize_stage(mask, cfg, distance_transform=dt)
+    G, segments, attrs = graph_stage(skel, mask, cfg,
+                                     distance_transform=dt, build_nx=True)
+    counts = {}
+    for seg in segments:
+        for v in (tuple(seg[0]), tuple(seg[-1])):
+            counts[v] = counts.get(v, 0) + 1
+    root = min((v for v, c in counts.items() if c == 1),
+               key=lambda v: v[2])
+
+    net_nx, sol_nx, of_nx = flow_stage(G, segments, root, cfg)
+    net_soa, sol_soa, of_soa = flow_stage_soa(segments, attrs, root, cfg)
+
+    assert net_nx.num_nodes == net_soa.num_nodes
+    assert net_nx.num_edges == net_soa.num_edges
+
+    def edge_set(net, node_of):
+        coord_of = {i: c for c, i in node_of.items()}
+        out = set()
+        for e in range(net.num_edges):
+            a = coord_of[int(net.heads[e])]
+            b = coord_of[int(net.tails[e])]
+            out.add((a, b, round(float(net.radius[e]), 6),
+                     round(float(net.length[e]), 6)))
+        return out
+    assert edge_set(net_nx, of_nx) == edge_set(net_soa, of_soa)
+    # same physics: pressures agree at matching coordinates
+    p_nx = {c: float(np.asarray(sol_nx.pressure)[i])
+            for c, i in of_nx.items()}
+    p_soa = {c: float(np.asarray(sol_soa.pressure)[i])
+             for c, i in of_soa.items()}
+    for c in p_nx:
+        assert abs(p_nx[c] - p_soa[c]) < 1e-6 * max(abs(p_nx[c]), 1.0)
