@@ -131,6 +131,103 @@ def symmetric_eigvals_3x3(a11, a22, a33, a12, a13, a23):
     return e3, e2, e1  # ascending
 
 
+def _scale_response(vol, sigma, alpha, beta, g, bright):
+    """Single-scale Frangi response given the scale weight ``g``."""
+    hxx, hyy, hzz, hxy, hxz, hyz = hessian_at_scale(vol, float(sigma))
+    l1a, l2a, l3a = symmetric_eigvals_3x3(hxx, hyy, hzz, hxy, hxz, hyz)
+    a, b, c = l1a, l2a, l3a
+
+    def swap_if(cond, x, y):
+        return jnp.where(cond, y, x), jnp.where(cond, x, y)
+
+    a, b = swap_if(jnp.abs(a) > jnp.abs(b), a, b)
+    b, c = swap_if(jnp.abs(b) > jnp.abs(c), b, c)
+    a, b = swap_if(jnp.abs(a) > jnp.abs(b), a, b)
+    lam1, lam2, lam3 = a, b, c
+
+    eps = 1e-10
+    ra = jnp.abs(lam2) / (jnp.abs(lam3) + eps)
+    rb = jnp.abs(lam1) / (jnp.sqrt(jnp.abs(lam2 * lam3)) + eps)
+    s = jnp.sqrt(lam1 ** 2 + lam2 ** 2 + lam3 ** 2)
+    v = ((1.0 - jnp.exp(-(ra ** 2) / (2 * alpha ** 2)))
+         * jnp.exp(-(rb ** 2) / (2 * beta ** 2))
+         * (1.0 - jnp.exp(-(s ** 2) / (2 * g ** 2 + eps))))
+    if bright:
+        v = jnp.where((lam2 < 0) & (lam3 < 0), v, 0.0)
+    else:
+        v = jnp.where((lam2 > 0) & (lam3 > 0), v, 0.0)
+    return v
+
+
+def _scale_s_max(vol, sigma, z_lo=None, z_hi=None):
+    """max of the Hessian Frobenius norm at one scale, optionally over
+    z-rows [z_lo, z_hi) only (chunked callers must exclude the halo: the
+    slab-edge zero padding fabricates a sharp edge whose response would
+    inflate the max)."""
+    hxx, hyy, hzz, hxy, hxz, hyz = hessian_at_scale(vol, float(sigma))
+    l1, l2, l3 = symmetric_eigvals_3x3(hxx, hyy, hzz, hxy, hxz, hyz)
+    s = jnp.sqrt(l1 ** 2 + l2 ** 2 + l3 ** 2)
+    if z_lo is not None:
+        s = jax.lax.slice_in_dim(s, z_lo, z_hi, axis=0)
+    return jnp.max(s)
+
+
+def frangi_vesselness_chunked(volume, sigmas=(1.0, 2.0, 3.0),
+                              alpha=0.5, beta=0.5, gamma=None,
+                              bright=True, chunk_z: int = 96):
+    """Multiscale Frangi for volumes whose full-grid temporaries exceed
+    HBM (~8 f32 fields per scale; a 880x880x640 Speck volume OOMs one
+    v5e chip).  The volume is processed in halo'd z slabs; when
+    ``gamma`` is None the default per-scale weight ``0.5 * max(S)`` is
+    computed EXACTLY with a first chunked pass (2x Hessian compute).
+
+    Matches the unchunked kernel exactly on all interior z-rows; the two
+    volume-face rows differ slightly (the unchunked finite differences
+    edge-replicate the smoothed field at the volume border, a slab sees
+    the zero-padded tail instead — max observed deviation ~0.013 on the
+    outermost row).
+    """
+    vol = volume if isinstance(volume, jax.Array) else \
+        jnp.asarray(np.asarray(volume, np.float32))
+    vol = vol.astype(jnp.float32)
+    Z = vol.shape[0]
+    halo = int(np.ceil(3.0 * max(sigmas))) + 1
+    n_chunks = -(-Z // chunk_z)
+    Zp = n_chunks * chunk_z
+    volp = jnp.pad(vol, ((halo, Zp - Z + halo), (0, 0), (0, 0)))
+
+    ext = chunk_z + 2 * halo
+
+    @functools.partial(jax.jit, static_argnames=("sigma",))
+    def smax_chunk(volp, start, sigma):
+        sl = jax.lax.dynamic_slice_in_dim(volp, start, ext, axis=0)
+        return _scale_s_max(sl, sigma, z_lo=halo, z_hi=halo + chunk_z)
+
+    @functools.partial(jax.jit,
+                       static_argnames=("sigma", "alpha", "beta", "bright"),
+                       donate_argnums=(0,))
+    def apply_chunk(best, volp, start, g, sigma, alpha, beta, bright):
+        sl = jax.lax.dynamic_slice_in_dim(volp, start, ext, axis=0)
+        v = _scale_response(sl, sigma, alpha, beta, g, bright)
+        v = jax.lax.slice_in_dim(v, halo, halo + chunk_z, axis=0)
+        cur = jax.lax.dynamic_slice_in_dim(best, start, chunk_z, axis=0)
+        return jax.lax.dynamic_update_slice_in_dim(
+            best, jnp.maximum(cur, v), start, axis=0)
+
+    starts = [c * chunk_z for c in range(n_chunks)]
+    best = jnp.zeros((Zp,) + vol.shape[1:], jnp.float32)
+    for sigma in sigmas:
+        if gamma is None:
+            g = jnp.max(jnp.stack([smax_chunk(volp, s, float(sigma))
+                                   for s in starts])) * 0.5
+        else:
+            g = jnp.float32(gamma)
+        for s in starts:
+            best = apply_chunk(best, volp, s, g, float(sigma),
+                               float(alpha), float(beta), bool(bright))
+    return best[:Z]
+
+
 @functools.partial(jax.jit, static_argnames=("sigmas", "alpha", "beta",
                                              "gamma", "bright"))
 def frangi_vesselness(volume, sigmas=(1.0, 2.0, 3.0), alpha=0.5, beta=0.5,

@@ -88,10 +88,20 @@ def vesselness_stage(raw_volume, config: Optional[PipelineConfig] = None,
     else:
         raw_d = upload_quantized(raw_volume,
                                  bits=8 if cfg.upload_format == "u8" else 12)
-    v = frangi_vesselness(
-        raw_d,
-        sigmas=tuple(cfg.sigmas),
-        alpha=cfg.alpha, beta=cfg.beta, gamma=cfg.gamma, bright=cfg.bright)
+    if int(np.prod(raw_d.shape)) > 2 * 10 ** 8:
+        # Speck-scale volumes OOM the full-grid Hessian temporaries;
+        # evaluate in halo'd z slabs (exact on interior rows)
+        from .ops.vesselness import frangi_vesselness_chunked
+        v = frangi_vesselness_chunked(
+            raw_d, sigmas=tuple(cfg.sigmas),
+            alpha=cfg.alpha, beta=cfg.beta, gamma=cfg.gamma,
+            bright=cfg.bright)
+    else:
+        v = frangi_vesselness(
+            raw_d,
+            sigmas=tuple(cfg.sigmas),
+            alpha=cfg.alpha, beta=cfg.beta, gamma=cfg.gamma,
+            bright=cfg.bright)
     if store is not None:
         store.save_nifti("vesselnessFiltered.nii.gz", np.asarray(v),
                          affine=affine, astype=np.float32)

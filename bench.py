@@ -414,11 +414,26 @@ def bench_speck_region_grow():
     itf = run_frontier()
     t_front = time.perf_counter() - t0
     voxels = float(np.prod(shape))
+
+    from arterynetwork_tpu.ops.vesselness import frangi_vesselness_chunked
+
+    def run_vessel():
+        v = frangi_vesselness_chunked(dvol, sigmas=(1.0, 2.0, 3.0),
+                                      chunk_z=110)
+        jax.device_get(v[0, 0, 0])
+
+    run_vessel()
+    t0 = time.perf_counter()
+    run_vessel()
+    t_vessel = time.perf_counter() - t0
+
     return {
         "speck_region_grow_s": t_full,
         "speck_region_grow_voxel_sweeps_per_s": voxels * it / t_full,
         "speck_region_grow_frontier_s": t_front,
         "speck_region_grow_frontier_speedup": t_full / t_front,
+        "speck_vesselness_s": t_vessel,
+        "speck_vesselness_vs_documented_reference": 3600.0 / t_vessel,
     }
 
 

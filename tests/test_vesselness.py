@@ -62,3 +62,29 @@ def test_plate_suppressed():
     v_tube = np.asarray(frangi_vesselness(tube.astype(np.float32),
                                           sigmas=(2.0,)))
     assert v_tube[20, 20, 20] > 3 * v_plate[20, 20, 20]
+
+
+def test_chunked_matches_unchunked():
+    """Halo'd z-slab evaluation is exact (same padding, exact two-pass
+    auto gamma) — required for Speck-scale volumes that OOM the
+    full-grid temporaries."""
+    import numpy as np
+
+    from arterynetwork_tpu.ops.vesselness import (frangi_vesselness,
+                                                  frangi_vesselness_chunked)
+
+    rng = np.random.default_rng(0)
+    vol = rng.normal(0.1, 0.05, (64, 48, 40)).astype(np.float32)
+    vol[20:44, 22:26, 18:22] += 1.0
+    full = np.asarray(frangi_vesselness(vol, sigmas=(1.0, 2.0)))
+    chunked = np.asarray(frangi_vesselness_chunked(vol, sigmas=(1.0, 2.0),
+                                                   chunk_z=16))
+    # exact on interior z-rows; the volume-face rows differ slightly
+    # (edge-replicate vs zero-tail finite differences at the border)
+    np.testing.assert_allclose(chunked[1:-1], full[1:-1], atol=1e-6)
+    assert np.abs(chunked - full).max() < 0.05
+    # explicit gamma path too
+    full_g = np.asarray(frangi_vesselness(vol, sigmas=(1.5,), gamma=0.7))
+    chunked_g = np.asarray(frangi_vesselness_chunked(
+        vol, sigmas=(1.5,), gamma=0.7, chunk_z=24))
+    np.testing.assert_allclose(chunked_g[1:-1], full_g[1:-1], atol=1e-6)
