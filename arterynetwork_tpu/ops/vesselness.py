@@ -40,37 +40,67 @@ def _gaussian_kernel(sigma: float, order: int, radius: int | None = None):
         k = (x ** 2 - sigma ** 2) / sigma ** 4 * g
     else:
         raise ValueError(order)
-    return jnp.asarray(k, dtype=jnp.float32)
+    return np.asarray(k, dtype=np.float32)
 
 
 def _conv_axis(vol, kernel, axis):
     """Separable 1D convolution along ``axis`` with zero padding.
 
-    Implemented as kernel-length shifted adds: measured faster on this
-    TPU than lax.conv_general_dilated with a single channel (TPU convs
-    want wide feature dims; C=1 lowers pathologically)."""
-    r = kernel.shape[0] // 2
-    pad = [(0, 0)] * vol.ndim
-    pad[axis] = (r, r)
-    vp = jnp.pad(vol, pad)
+    Implemented as a banded-matrix contraction so it runs on the MXU:
+    a K-tap shifted-add fusion re-reads the volume K times from HBM and
+    lane-dim (minor axis) shifts force Mosaic relayouts, while one dense
+    (N, N) banded matmul reads the volume once and the extra multiplies
+    by the zero band are free next to the HBM traffic they replace."""
     n = vol.shape[axis]
-    out = jnp.zeros_like(vol)
-    for i in range(kernel.shape[0]):
-        out = out + kernel[i] * jax.lax.slice_in_dim(vp, i, i + n, axis=axis)
-    return out
+    B = _banded_conv_matrix(tuple(np.asarray(kernel).tolist()), n)
+    return _apply_axis_matrix(vol, B, axis)
 
 
-def _shift(x, axis, d):
-    """x shifted by d along axis (edge replicate)."""
-    n = x.shape[axis]
-    pad = [(0, 0)] * x.ndim
-    if d > 0:
-        pad[axis] = (d, 0)
-        return jax.lax.slice_in_dim(jnp.pad(x, pad, mode="edge"), 0, n,
-                                    axis=axis)
-    pad[axis] = (0, -d)
-    return jax.lax.slice_in_dim(jnp.pad(x, pad, mode="edge"), -d, n - d,
-                                axis=axis)
+@functools.lru_cache(maxsize=None)
+def _banded_conv_matrix(taps: tuple, n: int):
+    """(n, n) matrix with B[i, j] = taps[j - i + r] (zero padding)."""
+    k = np.asarray(taps, np.float32)
+    r = len(taps) // 2
+    B = np.zeros((n, n), np.float32)
+    for t in range(len(taps)):
+        d = t - r
+        B += np.diag(np.full(n - abs(d), k[t], np.float32), k=d)
+    return B
+
+
+@functools.lru_cache(maxsize=None)
+def _diff_matrix(n: int, order: int):
+    """Finite-difference matrix with edge replication (x[-1] = x[0],
+    x[n] = x[n-1], the shift-with-replicate stencil semantics):
+
+    order=1: out[i] = x[i+1] - x[i-1]   (x[-1]=x[0], x[n]=x[n-1])
+    order=2: out[i] = x[i+1] + x[i-1] - 2 x[i]  (same replication)
+    """
+    B = np.zeros((n, n), np.float32)
+    if order == 1:
+        B += np.diag(np.ones(n - 1, np.float32), k=1)
+        B -= np.diag(np.ones(n - 1, np.float32), k=-1)
+        B[0, 0] -= 1.0
+        B[n - 1, n - 1] += 1.0
+    else:
+        B += np.diag(np.ones(n - 1, np.float32), k=1)
+        B += np.diag(np.ones(n - 1, np.float32), k=-1)
+        B -= 2.0 * np.eye(n, dtype=np.float32)
+        B[0, 0] += 1.0
+        B[n - 1, n - 1] += 1.0
+    return B
+
+
+_AXIS_EINSUM = ("iz,zyx->iyx", "iy,zyx->zix", "ix,zyx->zyi")
+
+
+def _apply_axis_matrix(vol, B, axis):
+    # HIGHEST: full-f32 MXU passes — the default (one bf16 pass) loses
+    # enough mantissa to visibly corrupt the Hessian eigen-structure and
+    # fragment the downstream segmentation
+    return jnp.einsum(_AXIS_EINSUM[axis], B, vol,
+                      precision=jax.lax.Precision.HIGHEST,
+                      preferred_element_type=jnp.float32)
 
 
 def hessian_at_scale(vol, sigma: float):
@@ -80,24 +110,28 @@ def hessian_at_scale(vol, sigma: float):
     finite differences for the second derivatives — G''*I = D2(G*I), so
     this is the derivative-of-smoothed formulation (what skimage's Frangi
     uses) at ~5x fewer full-volume passes than separate derivative
-    kernels per component."""
+    kernels per component.  All passes are banded-matrix contractions on
+    the MXU (edge replication encoded in the difference-matrix border
+    rows); the cross terms reuse the three first-derivative fields."""
     g0 = _gaussian_kernel(sigma, 0)
     s2 = jnp.float32(sigma * sigma)
     sm = vol
     for axis in range(3):
         sm = _conv_axis(sm, g0, axis)
 
+    def d1(x, axis):
+        return _apply_axis_matrix(x, _diff_matrix(x.shape[axis], 1), axis)
+
     def d2(axis):
-        return (_shift(sm, axis, 1) + _shift(sm, axis, -1) - 2.0 * sm) * s2
+        out = _apply_axis_matrix(sm, _diff_matrix(sm.shape[axis], 2), axis)
+        return out * s2
 
-    def dcross(a, b):
-        pp = _shift(_shift(sm, a, 1), b, 1)
-        mm = _shift(_shift(sm, a, -1), b, -1)
-        pm = _shift(_shift(sm, a, 1), b, -1)
-        mp = _shift(_shift(sm, a, -1), b, 1)
-        return (pp + mm - pm - mp) * (0.25 * s2)
-
-    return (d2(0), d2(1), d2(2), dcross(0, 1), dcross(0, 2), dcross(1, 2))
+    dz, dy = d1(sm, 0), d1(sm, 1)
+    q = 0.25 * s2
+    return (d2(0), d2(1), d2(2),
+            d1(dz, 1) * q,   # xy  (axes 0,1)
+            d1(dz, 2) * q,   # xz  (axes 0,2)
+            d1(dy, 2) * q)   # yz  (axes 1,2)
 
 
 def symmetric_eigvals_3x3(a11, a22, a33, a12, a13, a23):
@@ -181,11 +215,12 @@ def frangi_vesselness_chunked(volume, sigmas=(1.0, 2.0, 3.0),
     ``gamma`` is None the default per-scale weight ``0.5 * max(S)`` is
     computed EXACTLY with a first chunked pass (2x Hessian compute).
 
-    Matches the unchunked kernel exactly on all interior z-rows; the two
-    volume-face rows differ slightly (the unchunked finite differences
-    edge-replicate the smoothed field at the volume border, a slab sees
-    the zero-padded tail instead — max observed deviation ~0.013 on the
-    outermost row).
+    Matches the unchunked kernel on all interior z-rows to f32
+    matmul-blocking rounding (~1e-5: slab and full volume contract
+    different-sized banded matrices); the two volume-face rows differ
+    slightly more (the unchunked finite differences edge-replicate the
+    smoothed field at the volume border, a slab sees the zero-padded
+    tail instead — max observed deviation ~0.013 on the outermost row).
     """
     vol = volume if isinstance(volume, jax.Array) else \
         jnp.asarray(np.asarray(volume, np.float32))

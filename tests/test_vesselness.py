@@ -79,12 +79,14 @@ def test_chunked_matches_unchunked():
     full = np.asarray(frangi_vesselness(vol, sigmas=(1.0, 2.0)))
     chunked = np.asarray(frangi_vesselness_chunked(vol, sigmas=(1.0, 2.0),
                                                    chunk_z=16))
-    # exact on interior z-rows; the volume-face rows differ slightly
-    # (edge-replicate vs zero-tail finite differences at the border)
-    np.testing.assert_allclose(chunked[1:-1], full[1:-1], atol=1e-6)
+    # interior z-rows agree to f32 matmul-blocking rounding (the slab and
+    # the full volume contract different-sized banded matrices, which
+    # groups the same partial sums differently); the volume-face rows
+    # differ more (edge-replicate vs zero-tail differences at the border)
+    np.testing.assert_allclose(chunked[1:-1], full[1:-1], atol=1e-5)
     assert np.abs(chunked - full).max() < 0.05
     # explicit gamma path too
     full_g = np.asarray(frangi_vesselness(vol, sigmas=(1.5,), gamma=0.7))
     chunked_g = np.asarray(frangi_vesselness_chunked(
         vol, sigmas=(1.5,), gamma=0.7, chunk_z=24))
-    np.testing.assert_allclose(chunked_g[1:-1], full_g[1:-1], atol=1e-6)
+    np.testing.assert_allclose(chunked_g[1:-1], full_g[1:-1], atol=1e-5)
