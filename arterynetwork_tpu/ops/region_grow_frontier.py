@@ -11,25 +11,36 @@ voxels*:
   flips reactivate the flipped tile and its tile neighbors (a tile with
   no boundary can only gain one through a neighboring flip).
 * Each iteration compacts the active tile ids (``jnp.nonzero`` with a
-  static bound) and launches ONE Pallas kernel over them
-  (``PrefetchScalarGridSpec``): every grid step DMAs its halo'd tile of
-  the segmentation mask and the bin-index volume HBM->VMEM, evaluates
-  the boundary + flip rule in VMEM, DMAs the updated interior back
-  (``input_output_aliases`` keeps untouched tiles intact), and
-  accumulates the histogram *delta* of the flipped voxels.
+  static bound) and launches ONE Pallas kernel over them with a
+  TWO-PHASE grid (``PrefetchScalarGridSpec``, grid = (2, k_max)):
+  phase 0 snapshots every active tile's halo'd segmentation box into an
+  HBM scratch buffer; phase 1 re-reads the snapshot into VMEM,
+  evaluates the boundary + flip rule, and writes the updated interior
+  IN PLACE into the live volume (``input_output_aliases``).  Because
+  all snapshots complete before any write (sequential grid), every tile
+  sees the previous iteration's state — exact Jacobi semantics without
+  a full-volume double-buffer copy per iteration (the copy cost more
+  than the snapshots: only active tiles are snapshotted).
 * Region statistics are maintained incrementally: ``inner_hist`` is
   updated from the per-iteration flip deltas, so no full-volume
   histogram is ever recomputed; the flip decision table (the sign of
   ``innerProbNorm - outerProbNorm`` per intensity bin) is a BxB matvec
   packed into ``num_bins/32`` sign words, evaluated per voxel with
   shifts (no gather).
+* The static volume geometry is precomputed into the bin word so the
+  kernel never rebuilds it per tile: bits 0..7 = intensity bin, bit 8 =
+  inside-volume flag, bits 9..13 = the 27-neighborhood inside-count.
+  The boundary test is then ONE separable neighbor-sum of the
+  segmentation (sum27), since
+    #unsegmented-neighbors = sum27(inside) - sum27(seg)  (seg <= inside)
+  which replaces the two separate 26-dilations of the original design.
 
 Mosaic layout notes (these shaped the kernel):
 * sublane (2nd-minor) slices must be 8-aligned and lane (minor) slices
   128-aligned or full — so tiles span the FULL x extent, the y halo is
-  8 voxels wide (only 1 is used), and the 26-neighborhood is evaluated
-  with separable roll-based dilations instead of shifted slices
-  (wrap-around garbage lands on box edges the interior never reads);
+  8 voxels wide (only 1 is used), and neighbor sums use roll-based
+  separable adds (wrap-around garbage lands on box edges the interior
+  never reads);
 * 3D i1 vectors hit relayout bugs — all mask algebra runs in int32;
 * values cannot be dynamically sliced — the histogram delta accumulates
   over static 8-row blocks, skipped when the block has no flips;
@@ -75,55 +86,65 @@ def _roll(x, shift, axis):
     return pltpu.roll(x, shift % x.shape[axis], axis)
 
 
-def _dilate_full(x):
-    """Separable 26-dilation (includes the center, which all uses mask
-    out by construction).  Wrap-around garbage stays on box edges that
-    the interior never reads."""
+def _sum27(x):
+    """Separable 27-neighborhood sum (center included).  Wrap-around
+    garbage stays on box edges that the interior never reads."""
     for axis in range(3):
-        x = jnp.maximum(x, jnp.maximum(_roll(x, 1, axis),
-                                       _roll(x, -1, axis)))
+        x = x + _roll(x, 1, axis) + _roll(x, -1, axis)
     return x
 
 
-def _frontier_kernel(TZ, TY, Z, Y, X, Xp, n_ty, num_bins,
+def _frontier_kernel(TZ, TY, Xp, n_ty, num_bins,
                      ids_ref, nact_ref,              # scalar prefetch
-                     seg_old, seg_next, bins_in, words_ref,  # inputs
-                     seg_out, dhist_ref, flags_ref,  # outputs
+                     seg_in, bins_in, words_ref,     # inputs
+                     seg_out, snap_ref, dhist_ref, flags_ref,  # outputs
                      seg_box, bin_box, acc, sems):   # scratch
-    # seg_old is the PREVIOUS iteration's volume (all halo reads come
-    # from it: Jacobi semantics — without the split, later grid steps
-    # would see earlier tiles' same-iteration writes through their halos
-    # and the sweep would turn Gauss-Seidel); seg_next is aliased to
-    # seg_out and carries the untouched tiles.
-    del seg_next
+    # seg_out is aliased to seg_in (in-place update of the live volume).
+    # phase 0 snapshots each active tile's halo'd box into snap_ref;
+    # phase 1 computes from the snapshot and writes the interior back —
+    # sequential grid order means all snapshots happen before any write,
+    # which is what keeps the sweep Jacobi (no tile ever reads a
+    # same-iteration neighbor write through its halo).
+    del seg_in
     R = TY + 2 * PADY
     BZ = TZ + 2
     W = num_bins // 32
-    step = pl.program_id(0)
-    n_steps = pl.num_programs(0)
+    phase = pl.program_id(0)
+    step = pl.program_id(1)
+    n_steps = pl.num_programs(1)
 
-    @pl.when(step == 0)
+    @pl.when((phase == 0) & (step == 0))
     def _():
         acc[:] = jnp.zeros_like(acc)
 
-    flags_ref[step, 0] = 0
-    flags_ref[step, 1] = 0
-
     valid = step < nact_ref[0]
+    tid = ids_ref[step]
+    nty32 = jnp.int32(n_ty)
+    tz = (tid // nty32).astype(jnp.int32)
+    ty = (tid % nty32).astype(jnp.int32)
+    z0 = tz * jnp.int32(TZ)   # global z of the interior start
+    y0 = ty * jnp.int32(TY)   # window start in the padded array
+                              # == global y of the interior start
 
-    @pl.when(valid)
+    @pl.when(phase == 0)
     def _():
-        tid = ids_ref[step]
-        nty32 = jnp.int32(n_ty)
-        tz = (tid // nty32).astype(jnp.int32)
-        ty = (tid % nty32).astype(jnp.int32)
-        z0 = tz * jnp.int32(TZ)   # global z of the interior start
-        y0 = ty * jnp.int32(TY)   # window start in the padded array
-                                  # == global y of the interior start
+        # SMEM stores are scalar-only: zero this step's flag slots here
+        # (phase 0 visits every step, including the invalid tail)
+        flags_ref[step, 0] = 0
+        flags_ref[step, 1] = 0
 
-        in_seg = pltpu.make_async_copy(
-            seg_old.at[pl.ds(z0, BZ), pl.ds(y0, R), :],
-            seg_box, sems.at[0])
+    @pl.when(valid & (phase == 0))
+    def _():
+        snap = pltpu.make_async_copy(
+            seg_out.at[pl.ds(z0, BZ), pl.ds(y0, R), :],
+            snap_ref.at[step], sems.at[0])
+        snap.start()
+        snap.wait()
+
+    @pl.when(valid & (phase == 1))
+    def _():
+        in_seg = pltpu.make_async_copy(snap_ref.at[step], seg_box,
+                                       sems.at[0])
         in_bin = pltpu.make_async_copy(
             bins_in.at[pl.ds(z0, BZ), pl.ds(y0, R), :],
             bin_box, sems.at[1])
@@ -134,37 +155,32 @@ def _frontier_kernel(TZ, TY, Z, Y, X, Xp, n_ty, num_bins,
 
         # int32 mask algebra throughout (3D i1 relayouts are fragile)
         segi = (seg_box[:] != 0).astype(jnp.int32)
-        bins3 = bin_box[:]
+        packed = bin_box[:]
+        binv = packed & 255          # intensity bin
+        inside = (packed >> 8) & 1   # inside-volume flag
+        n27_in = packed >> 9         # 27-neighborhood inside count
 
-        # global coordinates of every box voxel
-        giz = (jax.lax.broadcasted_iota(jnp.int32, (BZ, R, Xp), 0)
-               + z0 - 1)
-        giy = (jax.lax.broadcasted_iota(jnp.int32, (BZ, R, Xp), 1)
-               + y0 - PADY)
-        gix = (jax.lax.broadcasted_iota(jnp.int32, (BZ, R, Xp), 2) - 1)
-        inside = ((giz >= 0) & (giz < Z) & (giy >= 0) & (giy < Y)
-                  & (gix >= 0) & (gix < X)).astype(jnp.int32)
-        interior = ((giz >= z0) & (giz < z0 + TZ)
-                    & (giy >= y0) & (giy < y0 + TY)).astype(jnp.int32)
+        # interior of the tile in box-local coordinates (static pattern)
+        liz = jax.lax.broadcasted_iota(jnp.int32, (BZ, R, Xp), 0)
+        liy = jax.lax.broadcasted_iota(jnp.int32, (BZ, R, Xp), 1)
+        interior = ((liz >= 1) & (liz < 1 + TZ)
+                    & (liy >= PADY) & (liy < PADY + TY)).astype(jnp.int32)
 
-        unseg = (1 - segi) * inside
-        nbr_seg = _dilate_full(segi)
-        nbr_unseg = _dilate_full(unseg)
-
-        # the dilation includes the center, but on segmented voxels
-        # unseg == 0 and on unsegmented voxels segi == 0, so a voxel
-        # never contributes to its own boundary test
-        inner_bnd = segi * nbr_unseg
-        outer_bnd = (1 - segi) * nbr_seg
-        bnd = jnp.maximum(inner_bnd, outer_bnd) * interior * inside
+        # boundary test from ONE separable neighbor sum: seg <= inside,
+        # so sum27(unseg) = n27_in - sum27(seg)
+        unseg = inside - segi
+        n27_seg = _sum27(segi)
+        inner_bnd = segi * jnp.where(n27_in - n27_seg - unseg > 0, 1, 0)
+        outer_bnd = unseg * jnp.where(n27_seg - segi > 0, 1, 0)
+        bnd = jnp.maximum(inner_bnd, outer_bnd) * interior
 
         # flip rule: sign of innerProbNorm - outerProbNorm at the
         # voxel's bin, unpacked from packed sign words (no gather)
-        wsel = bins3 >> 5
+        wsel = binv >> 5
         sel = jnp.zeros((BZ, R, Xp), jnp.int32)
         for k in range(W):
             sel = jnp.where(wsel == k, words_ref[0, k], sel)
-        ge = (sel >> (bins3 & 31)) & 1
+        ge = (sel >> (binv & 31)) & 1
 
         flips = bnd * jnp.bitwise_xor(segi, ge)
         seg_new = jnp.bitwise_xor(segi, flips)
@@ -192,7 +208,7 @@ def _frontier_kernel(TZ, TY, Z, Y, X, Xp, n_ty, num_bins,
                 jnp.int32, (8, num_bins, Xp), 1)
             for z in range(1, TZ + 1):
                 for r0 in range(PADY, PADY + TY, 8):
-                    blk_b = bins3[z, r0:r0 + 8, :]
+                    blk_b = binv[z, r0:r0 + 8, :]
                     blk_s = sgn[z, r0:r0 + 8, :]
                     blk_any = jnp.max(jnp.max(jnp.abs(blk_s), axis=0))
 
@@ -205,7 +221,7 @@ def _frontier_kernel(TZ, TY, Z, Y, X, Xp, n_ty, num_bins,
 
         out_dma.wait()
 
-    @pl.when(step == n_steps - 1)
+    @pl.when((phase == 1) & (step == n_steps - 1))
     def _():
         dhist_ref[:] = jnp.sum(acc[:], axis=1, keepdims=True)
 
@@ -263,6 +279,7 @@ def _region_grow_frontier_jit(data, seed_mask, H, max_segment_size,
                               iter_max, num_bins, tile, k_max, interpret):
     TZ, TY = tile
     assert TY % 8 == 0, "TY must be sublane-aligned"
+    assert num_bins <= 256, "bin index must fit in the low byte"
     Z, Y, X = data.shape
     ntz = -(-Z // TZ)
     nty = -(-Y // TY)
@@ -292,10 +309,21 @@ def _region_grow_frontier_jit(data, seed_mask, H, max_segment_size,
     seg_pad0 = jnp.zeros((Zt + 2, Yt + 2 * PADY, Xp), jnp.uint8)
     seg_pad0 = seg_pad0.at[1:Z + 1, PADY:PADY + Y, 1:X + 1].set(
         seg0.astype(jnp.uint8))
-    # int32 bins: a uint8 wire was tried and lost — the in-kernel
-    # int8->int32 relayout costs more than the DMA it saves
+    # packed static geometry word per voxel: bits 0..7 intensity bin,
+    # bit 8 inside-volume, bits 9..13 sum27(inside) — one-time setup so
+    # the kernel never recomputes volume-border masks per tile.
+    # (int32 wire: a uint8 bin wire was tried and lost — the in-kernel
+    # int8->int32 relayout costs more than the DMA it saves)
+    inside_pad = jnp.zeros((Zt + 2, Yt + 2 * PADY, Xp), jnp.int32)
+    inside_pad = inside_pad.at[1:Z + 1, PADY:PADY + Y, 1:X + 1].set(1)
+    n27_inside = inside_pad
+    for axis in range(3):
+        n27_inside = (n27_inside
+                      + jnp.roll(n27_inside, 1, axis)
+                      + jnp.roll(n27_inside, -1, axis))
     bins_pad = jnp.zeros((Zt + 2, Yt + 2 * PADY, Xp), jnp.int32)
     bins_pad = bins_pad.at[1:Z + 1, PADY:PADY + Y, 1:X + 1].set(bin_idx)
+    bins_pad = bins_pad | (inside_pad << 8) | (n27_inside << 9)
 
     diff_bins = bin_values[:, None] - bin_values[None, :]
     K = (A_NORM * jnp.exp(-0.5 * H * diff_bins * diff_bins)).astype(
@@ -305,20 +333,19 @@ def _region_grow_frontier_jit(data, seed_mask, H, max_segment_size,
     BZ, R = TZ + 2, TY + 2 * PADY
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
-        grid=(k_max,),
+        grid=(2, k_max),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec((1, W), lambda i, *_: (0, 0),
+            pl.BlockSpec((1, W), lambda p, i, *_: (0, 0),
                          memory_space=pltpu.SMEM),
         ],
         out_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec((num_bins, 1), lambda i, *_: (0, 0),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((num_bins, 1), lambda p, i, *_: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((k_max, 2), lambda i, *_: (0, 0),
-                         memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
         scratch_shapes=[
             pltpu.VMEM((BZ, R, Xp), jnp.uint8),
@@ -327,33 +354,33 @@ def _region_grow_frontier_jit(data, seed_mask, H, max_segment_size,
             pltpu.SemaphoreType.DMA((3,)),
         ],
     )
-    kernel = functools.partial(_frontier_kernel, TZ, TY, Z, Y, X, Xp,
-                               nty, num_bins)
+    kernel = functools.partial(_frontier_kernel, TZ, TY, Xp, nty,
+                               num_bins)
 
     def launch(seg_pad, ids, nact, words):
-        # double buffer: halo reads come from seg_pad (old), interiors
-        # are written into a fresh copy aliased to the output
-        seg_next = seg_pad + jnp.uint8(0)
         return pl.pallas_call(
             kernel,
             grid_spec=grid_spec,
             out_shape=[
                 jax.ShapeDtypeStruct(seg_pad.shape, jnp.uint8),
+                jax.ShapeDtypeStruct((k_max, BZ, R, Xp), jnp.uint8),
                 jax.ShapeDtypeStruct((num_bins, 1), jnp.float32),
                 jax.ShapeDtypeStruct((k_max, 2), jnp.int32),
             ],
-            input_output_aliases={3: 0},  # seg_next (after 2 prefetch args)
+            input_output_aliases={2: 0},  # seg (after 2 prefetch args)
             compiler_params=pltpu.CompilerParams(has_side_effects=True),
             interpret=interpret,
-        )(ids, nact, seg_pad, seg_next, bins_pad, words)
+        )(ids, nact, seg_pad, bins_pad, words)
 
     def cond(state):
         return state[-1] < 0
 
     def body(state):
+        # unconditional launch (no lax.cond around the big buffer: the
+        # in-place alias through a branch forces defensive copies).  The
+        # size cap is checked AFTER the launch that crossed it — the
+        # crossed state is final, so the next launch simply never runs.
         seg_pad, inner_hist, active, it, stop = state
-        count = jnp.sum(inner_hist).astype(jnp.int32)
-        size_capped = count >= max_segment_size
 
         inner_size = jnp.maximum(jnp.sum(inner_hist), 1.0)
         outer_hist = hist_all - inner_hist
@@ -367,44 +394,42 @@ def _region_grow_frontier_jit(data, seed_mask, H, max_segment_size,
         ids = ids.astype(jnp.int32)
         nact = jnp.minimum(n_active, k_max).reshape(1)
 
-        def run(seg_pad, inner_hist, active):
-            seg_new, dhist, flags = launch(seg_pad, ids, nact, words)
-            valid = (jnp.arange(k_max, dtype=jnp.int32)
-                     < nact[0]).astype(jnp.int32)
-            nf = flags[:, 0] * valid
-            hb = flags[:, 1] * valid
-            total_flips = jnp.sum(nf)
+        seg_new, _, dhist, flags = launch(seg_pad, ids, nact, words)
+        valid = (jnp.arange(k_max, dtype=jnp.int32)
+                 < nact[0]).astype(jnp.int32)
+        nf = flags[:, 0] * valid
+        hb = flags[:, 1] * valid
+        total_flips = jnp.sum(nf)
 
-            nf_t = jnp.zeros((NT,), jnp.int32).at[ids].max(nf)
-            hb_t = jnp.zeros((NT,), jnp.int32).at[ids].max(hb)
-            proc = jnp.zeros((NT,), jnp.int32).at[ids].max(valid)
+        nf_t = jnp.zeros((NT,), jnp.int32).at[ids].max(nf)
+        hb_t = jnp.zeros((NT,), jnp.int32).at[ids].max(hb)
+        proc = jnp.zeros((NT,), jnp.int32).at[ids].max(valid)
 
-            flipped = (nf_t > 0).reshape(ntz, nty)
-            keep = (hb_t > 0).reshape(ntz, nty)
-            unproc = (active_flat & (proc == 0)).reshape(ntz, nty)
-            active_new = unproc | keep | _dilate_tiles(flipped)
-            inner_new = inner_hist + dhist.reshape(-1)
-            return seg_new, inner_new, active_new, total_flips
-
-        def skip(seg_pad, inner_hist, active):
-            return seg_pad, inner_hist, active, jnp.int32(0)
-
-        seg_new, inner_new, active_new, total_flips = jax.lax.cond(
-            size_capped, skip, run, seg_pad, inner_hist, active)
+        flipped = (nf_t > 0).reshape(ntz, nty)
+        keep = (hb_t > 0).reshape(ntz, nty)
+        unproc = (active_flat & (proc == 0)).reshape(ntz, nty)
+        active_new = unproc | keep | _dilate_tiles(flipped)
+        inner_new = inner_hist + dhist.reshape(-1)
 
         processed_all = n_active <= k_max
-        converged = (total_flips == 0) & processed_all & ~size_capped
+        converged = (total_flips == 0) & processed_all
+        size_capped = (jnp.sum(inner_new).astype(jnp.int32)
+                       >= max_segment_size)
         # iterations count applied updates only (the full-grid kernel and
-        # the reference do not count the converged/capped final check)
-        it_new = it + jnp.where(size_capped | converged, 0, 1)
-        stop = jnp.where(converged, 0,
+        # the reference do not count the converged final check)
+        it_new = it + jnp.where(converged, 0, 1)
+        stop = jnp.where(converged & ~size_capped, 0,
                          jnp.where(size_capped, 1,
                                    jnp.where(it_new >= iter_max, 2, -1)))
         return (seg_new, inner_new, active_new, it_new,
                 stop.astype(jnp.int32))
 
+    # a seed already at/over the size cap never launches (reference
+    # semantics: the capped state is returned unmodified)
+    stop0 = jnp.where(jnp.sum(inner_hist0).astype(jnp.int32)
+                      >= max_segment_size, 1, -1).astype(jnp.int32)
     state0 = (seg_pad0, inner_hist0, active0, jnp.zeros((), jnp.int32),
-              jnp.full((), -1, jnp.int32))
+              stop0)
     seg_pad, inner_hist, active, it, stop = jax.lax.while_loop(
         cond, body, state0)
 
