@@ -57,6 +57,12 @@ def get_lib():
         ctypes.c_int, ctypes.c_int, ctypes.c_int,
         ctypes.POINTER(ctypes.c_float),
     ]
+    lib.edt3d_sq_masked.restype = ctypes.c_long
+    lib.edt3d_sq_masked.argtypes = [
+        ctypes.POINTER(ctypes.c_uint8),
+        ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.POINTER(ctypes.c_float),
+    ]
     lib.label_components_26.restype = ctypes.c_long
     lib.label_components_26.argtypes = [
         ctypes.POINTER(ctypes.c_uint8),
@@ -88,6 +94,31 @@ def edt_native(mask, squared: bool = False) -> np.ndarray:
     get_lib().edt3d_sq(m.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
                        nz, ny, nx,
                        out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)))
+    return out if squared else np.sqrt(out, out=out)
+
+
+def edt_masked_native(mask, r_max: int = 16,
+                      squared: bool = False) -> np.ndarray:
+    """Exact EDT evaluated at foreground voxels only (banded
+    sorted-offset scan, native).
+
+    Identical values to ``edt_native`` on the foreground when every
+    foreground voxel is within ``r_max`` of background (true for vessel
+    masks: the bound is the largest vessel radius); falls back to the
+    full Felzenszwalb transform otherwise.  The pipeline's consumers
+    (thinning order, centerline radius recovery) only read the transform
+    at vessel voxels, so this replaces three full-volume envelope passes
+    with ~(4/3)*pi*d^3 probes per vessel voxel.
+    """
+    m = np.ascontiguousarray(np.asarray(mask) != 0, dtype=np.uint8)
+    nz, ny, nx = m.shape
+    out = np.empty(m.shape, np.float32)
+    unresolved = get_lib().edt3d_sq_masked(
+        m.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        nz, ny, nx, int(r_max),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)))
+    if unresolved:
+        return edt_native(m, squared=squared)
     return out if squared else np.sqrt(out, out=out)
 
 

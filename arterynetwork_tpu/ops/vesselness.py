@@ -231,36 +231,46 @@ def frangi_vesselness_chunked(volume, sigmas=(1.0, 2.0, 3.0),
     Zp = n_chunks * chunk_z
     volp = jnp.pad(vol, ((halo, Zp - Z + halo), (0, 0), (0, 0)))
 
-    ext = chunk_z + 2 * halo
-
-    @functools.partial(jax.jit, static_argnames=("sigma",))
-    def smax_chunk(volp, start, sigma):
-        sl = jax.lax.dynamic_slice_in_dim(volp, start, ext, axis=0)
-        return _scale_s_max(sl, sigma, z_lo=halo, z_hi=halo + chunk_z)
-
-    @functools.partial(jax.jit,
-                       static_argnames=("sigma", "alpha", "beta", "bright"),
-                       donate_argnums=(0,))
-    def apply_chunk(best, volp, start, g, sigma, alpha, beta, bright):
-        sl = jax.lax.dynamic_slice_in_dim(volp, start, ext, axis=0)
-        v = _scale_response(sl, sigma, alpha, beta, g, bright)
-        v = jax.lax.slice_in_dim(v, halo, halo + chunk_z, axis=0)
-        cur = jax.lax.dynamic_slice_in_dim(best, start, chunk_z, axis=0)
-        return jax.lax.dynamic_update_slice_in_dim(
-            best, jnp.maximum(cur, v), start, axis=0)
-
     starts = [c * chunk_z for c in range(n_chunks)]
     best = jnp.zeros((Zp,) + vol.shape[1:], jnp.float32)
     for sigma in sigmas:
         if gamma is None:
-            g = jnp.max(jnp.stack([smax_chunk(volp, s, float(sigma))
-                                   for s in starts])) * 0.5
+            g = jnp.max(jnp.stack(
+                [_smax_chunk(volp, s, float(sigma), halo, chunk_z)
+                 for s in starts])) * 0.5
         else:
             g = jnp.float32(gamma)
         for s in starts:
-            best = apply_chunk(best, volp, s, g, float(sigma),
-                               float(alpha), float(beta), bool(bright))
+            best = _apply_chunk(best, volp, s, g, float(sigma),
+                                float(alpha), float(beta), bool(bright),
+                                halo, chunk_z)
     return best[:Z]
+
+
+# module-level jitted chunk workers: a per-call closure would create a
+# fresh jit cache every invocation and RECOMPILE every program through
+# the (slow, remote) compiler — warm Speck-scale runs went from ~80 s to
+# ~2 s when these were hoisted
+@functools.partial(jax.jit, static_argnames=("sigma", "halo", "chunk_z"))
+def _smax_chunk(volp, start, sigma, halo, chunk_z):
+    sl = jax.lax.dynamic_slice_in_dim(volp, start, chunk_z + 2 * halo,
+                                      axis=0)
+    return _scale_s_max(sl, sigma, z_lo=halo, z_hi=halo + chunk_z)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("sigma", "alpha", "beta", "bright",
+                                    "halo", "chunk_z"),
+                   donate_argnums=(0,))
+def _apply_chunk(best, volp, start, g, sigma, alpha, beta, bright,
+                 halo, chunk_z):
+    sl = jax.lax.dynamic_slice_in_dim(volp, start, chunk_z + 2 * halo,
+                                      axis=0)
+    v = _scale_response(sl, sigma, alpha, beta, g, bright)
+    v = jax.lax.slice_in_dim(v, halo, halo + chunk_z, axis=0)
+    cur = jax.lax.dynamic_slice_in_dim(best, start, chunk_z, axis=0)
+    return jax.lax.dynamic_update_slice_in_dim(
+        best, jnp.maximum(cur, v), start, axis=0)
 
 
 @functools.partial(jax.jit, static_argnames=("sigmas", "alpha", "beta",

@@ -160,16 +160,17 @@ def compute_mask_edt(mask):
     also caches this array, manualCorrectionGUI.py:243-249).
 
     The mask lives on the host at this point (it just crossed as packed
-    bits), and both consumers are host-side, so the exact native EDT
-    (Felzenszwalb C++, ops/native.py) avoids a full-volume round trip
-    over the accelerator link entirely.
+    bits), and both consumers only read the transform AT vessel voxels,
+    so the exact banded native EDT (sorted-offset scan, ops/native.py)
+    avoids both a full-volume accelerator round trip and full-volume
+    envelope passes.
     """
-    from .ops.native import bounding_box, edt_native
+    from .ops.native import bounding_box, edt_masked_native
 
     vv = np.asarray(mask) != 0
     box = bounding_box(vv, margin=2)
     dt = np.zeros(vv.shape, np.float32)
-    dt[box] = edt_native(vv[box])
+    dt[box] = edt_masked_native(vv[box])
     return dt
 
 
@@ -217,11 +218,7 @@ def graph_stage(skeleton, mask, config=None, store=None,
     _, segments = skeleton_to_segments(
         skeleton, prune_min_length=cfg.prune_min_length, build_graph=False)
     if distance_transform is None:
-        from .ops.native import bounding_box, edt_native
-        vv = np.asarray(mask) != 0
-        box = bounding_box(vv, margin=2)
-        distance_transform = np.zeros(vv.shape, np.float32)
-        distance_transform[box] = edt_native(vv[box])
+        distance_transform = compute_mask_edt(mask)
     attrs = compute_branch_attrs(segments, segments, distance_transform)
     G = None
     if build_nx or store is not None:

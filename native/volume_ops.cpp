@@ -14,6 +14,7 @@
 //
 // Build: g++ -O3 -fopenmp -shared -fPIC volume_ops.cpp (see ops/native.py)
 
+#include <algorithm>
 #include <cstdint>
 #include <cstring>
 #include <limits>
@@ -162,6 +163,93 @@ void edt3d_sq(const uint8_t* mask, int nz, int ny, int nx, float* out) {
     // volume with no background at all keeps the LARGE sentinel
     for (long i = 0; i < total; ++i)
         if (!mask[i]) out[i] = 0.0f;
+}
+
+// Banded exact squared EDT evaluated AT FOREGROUND VOXELS ONLY.
+//
+// The pipeline consumers of the distance transform (thinning order,
+// centerline radius recovery) only ever read it at vessel voxels, where
+// the distance to the wall is bounded by the largest vessel radius — a
+// handful of voxels.  Scanning candidate offsets in increasing
+// squared-norm order makes the first background hit the exact minimum,
+// so the cost per voxel is ~(4/3)pi d^3 probes instead of three
+// full-volume envelope passes.  Background stays exactly 0 (same
+// contract as edt3d_sq).
+//
+// Returns the number of UNRESOLVED foreground voxels (no background
+// within r_max; their out value is kLarge) — callers fall back to the
+// full transform when nonzero.
+long edt3d_sq_masked(const uint8_t* mask, int nz, int ny, int nx,
+                     int r_max, float* out) {
+    const long plane = static_cast<long>(ny) * nx;
+    const long total = static_cast<long>(nz) * plane;
+    const long r2max = static_cast<long>(r_max) * r_max;
+
+    struct Off { int32_t d2; int16_t dz, dy, dx; };
+    std::vector<Off> offs;
+    offs.reserve(static_cast<size_t>(4.2 * r_max * r_max * r_max) + 64);
+    for (int dz = -r_max; dz <= r_max; ++dz)
+        for (int dy = -r_max; dy <= r_max; ++dy)
+            for (int dx = -r_max; dx <= r_max; ++dx) {
+                long d2 = static_cast<long>(dz) * dz
+                        + static_cast<long>(dy) * dy
+                        + static_cast<long>(dx) * dx;
+                if (d2 == 0 || d2 > r2max) continue;
+                offs.push_back({static_cast<int32_t>(d2),
+                                static_cast<int16_t>(dz),
+                                static_cast<int16_t>(dy),
+                                static_cast<int16_t>(dx)});
+            }
+    std::sort(offs.begin(), offs.end(),
+              [](const Off& a, const Off& b) { return a.d2 < b.d2; });
+    const size_t n_off = offs.size();
+    std::vector<long> flat(n_off);
+    for (size_t i = 0; i < n_off; ++i)
+        flat[i] = (static_cast<long>(offs[i].dz) * ny + offs[i].dy) * nx
+                + offs[i].dx;
+
+    std::memset(out, 0, sizeof(float) * total);
+    long unresolved = 0;
+#pragma omp parallel reduction(+ : unresolved)
+    {
+#pragma omp for schedule(dynamic, 4)
+        for (int z = 0; z < nz; ++z) {
+            const bool z_in = (z >= r_max && z < nz - r_max);
+            for (int y = 0; y < ny; ++y) {
+                const bool zy_in = z_in && y >= r_max && y < ny - r_max;
+                const long row = (static_cast<long>(z) * ny + y) * nx;
+                for (int x = 0; x < nx; ++x) {
+                    if (!mask[row + x]) continue;
+                    const long p = row + x;
+                    float d2 = kLarge;
+                    if (zy_in && x >= r_max && x < nx - r_max) {
+                        // interior: no bounds checks on the probes
+                        for (size_t i = 0; i < n_off; ++i) {
+                            if (!mask[p + flat[i]]) {
+                                d2 = static_cast<float>(offs[i].d2);
+                                break;
+                            }
+                        }
+                    } else {
+                        for (size_t i = 0; i < n_off; ++i) {
+                            const int z2 = z + offs[i].dz;
+                            const int y2 = y + offs[i].dy;
+                            const int x2 = x + offs[i].dx;
+                            if (z2 < 0 || z2 >= nz || y2 < 0 || y2 >= ny
+                                || x2 < 0 || x2 >= nx) continue;
+                            if (!mask[p + flat[i]]) {
+                                d2 = static_cast<float>(offs[i].d2);
+                                break;
+                            }
+                        }
+                    }
+                    out[p] = d2;
+                    if (d2 >= kLarge) ++unresolved;
+                }
+            }
+        }
+    }
+    return unresolved;
 }
 
 // 26-connectivity component labeling.  labels must be zero-initialized,

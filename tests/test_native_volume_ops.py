@@ -90,3 +90,50 @@ def test_vascular_phantom_properties():
     raw = phantom_raw_volume(ph)
     assert raw.shape == m.shape
     assert raw[m].mean() > raw[~m].mean() + 50
+
+
+@pytest.mark.parametrize("seed,density", [(0, 0.3), (1, 0.6), (2, 0.9)])
+def test_edt_masked_matches_scipy_on_foreground(seed, density):
+    """Banded sorted-offset EDT: exact at foreground voxels, 0 at
+    background (the pipeline's consumers only read foreground)."""
+    from arterynetwork_tpu.ops.native import edt_masked_native
+
+    rng = np.random.default_rng(seed)
+    m = rng.random((37, 29, 23)) < density
+    ours = edt_masked_native(m, r_max=8)
+    ref = ndimage.distance_transform_edt(m)
+    np.testing.assert_allclose(ours[m], ref[m], atol=1e-4)
+    assert (ours[~m] == 0).all()
+
+
+def test_edt_masked_fallback_on_deep_foreground():
+    """A voxel deeper than r_max triggers the exact full-transform
+    fallback (identical output to edt_native)."""
+    from arterynetwork_tpu.ops.native import edt_masked_native
+
+    m = np.ones((11, 11, 11), bool)
+    m[0, 0, 0] = False  # single background corner: far voxels exceed r_max
+    ours = edt_masked_native(m, r_max=3)
+    ref = ndimage.distance_transform_edt(m)
+    np.testing.assert_allclose(ours[m], ref[m], atol=1e-4)
+
+
+def test_edt_masked_all_foreground_keeps_sentinel_path():
+    """No background at all: fallback to edt_native's sentinel contract."""
+    from arterynetwork_tpu.ops.native import edt_masked_native, edt_native
+
+    m = np.ones((6, 7, 8), bool)
+    ours = edt_masked_native(m, r_max=4)
+    full = edt_native(m)
+    np.testing.assert_allclose(ours, full)
+
+
+def test_edt_masked_border_voxels():
+    """Bounds-checked path: volume borders are not background."""
+    from arterynetwork_tpu.ops.native import edt_masked_native
+
+    m = np.ones((5, 6, 30), bool)
+    m[2, 3, 15] = False
+    ours = edt_masked_native(m, r_max=16)
+    ref = ndimage.distance_transform_edt(m)
+    np.testing.assert_allclose(ours[m], ref[m], atol=1e-4)
