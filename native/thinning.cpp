@@ -43,6 +43,12 @@ static int N18[18];
 static int ADJ6[18][18];
 static int ADJ6_N[18];
 static int FACE18[6];  // positions (into N18) of the 6 face neighbors
+// bitmask forms of the same tables (fixed-point reachability in a
+// register instead of array flood fills — is_simple dominates thinning)
+static uint32_t ADJ26_MASK[26];
+static uint32_t ADJ6_MASK[18];
+static int POS18[26];        // 26-index -> 18-index or -1
+static uint32_t FACE_MASK18;  // face-neighbor bits in 18-space
 
 static void init_tables() {
     if (off_init) return;
@@ -83,65 +89,94 @@ static void init_tables() {
             if (man == 1) ADJ6[a][ADJ6_N[a]++] = b;
         }
     }
+    for (int i = 0; i < 26; ++i) {
+        ADJ26_MASK[i] = 0;
+        for (int a = 0; a < ADJ26_N[i]; ++a)
+            ADJ26_MASK[i] |= 1u << ADJ26[i][a];
+    }
+    for (int a = 0; a < 18; ++a) {
+        ADJ6_MASK[a] = 0;
+        for (int b = 0; b < ADJ6_N[a]; ++b)
+            ADJ6_MASK[a] |= 1u << ADJ6[a][b];
+    }
+    for (int i = 0; i < 26; ++i) POS18[i] = -1;
+    for (int a = 0; a < 18; ++a) POS18[N18[a]] = a;
+    FACE_MASK18 = 0;
+    for (int f = 0; f < 6; ++f) FACE_MASK18 |= 1u << FACE18[f];
     off_init = true;
 }
 
+// fixed point of reach |= (neighbors of reach) & domain
+static inline uint32_t grow_mask(uint32_t seed, uint32_t domain,
+                                 const uint32_t* adj) {
+    uint32_t reach = seed, frontier = seed;
+    while (frontier) {
+        uint32_t nbrs = 0;
+        do {
+            int j = __builtin_ctz(frontier);
+            nbrs |= adj[j];
+            frontier &= frontier - 1;
+        } while (frontier);
+        frontier = nbrs & domain & ~reach;
+        reach |= frontier;
+    }
+    return reach;
+}
+
+// T26 == 1 and T6 == 1 given the neighborhood as bitmasks: m26 =
+// foreground bits (cube-scan order), m18 = the same restricted to the
+// 18-neighborhood (18-space order).
+static inline bool is_simple_mask(uint32_t m26, uint32_t m18,
+                                  int* fg_count) {
+    *fg_count = __builtin_popcount(m26);
+    if (!m26) return false;
+    // T26: all foreground neighbors in one 26-component
+    uint32_t seed = m26 & (~m26 + 1);  // lowest set bit
+    if (grow_mask(seed, m26, ADJ26_MASK) != m26) return false;
+    // T6: exactly one 6-component of background in N18 touches a face
+    uint32_t bg = ~m18 & 0x3FFFFu;
+    uint32_t faces = bg & FACE_MASK18;
+    if (!faces) return false;
+    uint32_t seed6 = faces & (~faces + 1);
+    uint32_t reach = grow_mask(seed6, bg, ADJ6_MASK);
+    return (faces & ~reach) == 0;
+}
+
+// flat neighbor offsets for the bounds-free interior gather (sequential
+// worklist: a per-shape static cache is safe)
+static long FOFF[26];
+static int foff_ny = -1, foff_nx = -1;
+
 // T26 == 1 and T6 == 1 for the 26-bit neighborhood of (z,y,x)
 static bool is_simple(const Vol& v, int z, int y, int x, int* fg_count) {
-    bool nb[26];
-    int nfg = 0;
-    for (int k = 0; k < 26; ++k) {
-        nb[k] = v.at(z + OFF[k][0], y + OFF[k][1], x + OFF[k][2]);
-        nfg += nb[k];
-    }
-    *fg_count = nfg;
-    if (nfg == 0) return false;
-
-    // T26: one 26-component among fg neighbors (flood fill)
-    {
-        int comp = 0;
-        bool seen[26] = {false};
-        for (int s = 0; s < 26; ++s) {
-            if (!nb[s] || seen[s]) continue;
-            ++comp;
-            if (comp > 1) return false;
-            int stack[26], top = 0;
-            stack[top++] = s; seen[s] = true;
-            while (top) {
-                int c = stack[--top];
-                for (int a = 0; a < ADJ26_N[c]; ++a) {
-                    int j = ADJ26[c][a];
-                    if (nb[j] && !seen[j]) { seen[j] = true; stack[top++] = j; }
-                }
+    uint32_t m26 = 0, m18 = 0;
+    if (z > 0 && y > 0 && x > 0
+        && z < v.nz - 1 && y < v.ny - 1 && x < v.nx - 1) {
+        if (foff_ny != v.ny || foff_nx != v.nx) {
+            for (int k = 0; k < 26; ++k)
+                FOFF[k] = (static_cast<long>(OFF[k][0]) * v.ny
+                           + OFF[k][1]) * v.nx + OFF[k][2];
+            foff_ny = v.ny;
+            foff_nx = v.nx;
+        }
+        const uint8_t* c = v.d + v.idx(z, y, x);
+        for (int k = 0; k < 26; ++k) {
+            if (c[FOFF[k]]) {
+                m26 |= 1u << k;
+                int p = POS18[k];
+                if (p >= 0) m18 |= 1u << p;
             }
         }
-        if (comp != 1) return false;
-    }
-
-    // T6: one 6-component of background in N18 touching a face neighbor
-    {
-        bool bg[18];
-        for (int a = 0; a < 18; ++a) bg[a] = !nb[N18[a]];
-        bool seen[18] = {false};
-        int comp_face = 0;
-        for (int fi = 0; fi < 6; ++fi) {
-            int s = FACE18[fi];
-            if (!bg[s] || seen[s]) continue;
-            ++comp_face;
-            if (comp_face > 1) return false;
-            int stack[18], top = 0;
-            stack[top++] = s; seen[s] = true;
-            while (top) {
-                int c = stack[--top];
-                for (int a = 0; a < ADJ6_N[c]; ++a) {
-                    int j = ADJ6[c][a];
-                    if (bg[j] && !seen[j]) { seen[j] = true; stack[top++] = j; }
-                }
+    } else {
+        for (int k = 0; k < 26; ++k) {
+            if (v.at(z + OFF[k][0], y + OFF[k][1], x + OFF[k][2])) {
+                m26 |= 1u << k;
+                int p = POS18[k];
+                if (p >= 0) m18 |= 1u << p;
             }
         }
-        if (comp_face != 1) return false;
     }
-    return true;
+    return is_simple_mask(m26, m18, fg_count);
 }
 
 static bool has_bg6(const Vol& v, int z, int y, int x) {
@@ -179,6 +214,13 @@ long thin_volume(uint8_t* vol, int nz, int ny, int nx,
     // queue-driven rechecks (neighbors of deletions).  Interior voxels
     // are never seeded — they can only become deletable when a 6-neighbor
     // is deleted, which re-pushes them.
+    //
+    // Bit 1 of the voxel byte is a PENDING flag: a voxel already sitting
+    // in a queue/bucket/leftover is never pushed again.  Without it every
+    // deletion re-queued all 26 neighbors and each was re-checked with a
+    // fresh flood-fill simple-point test — the dominant cost at MRA scale
+    // (several pending entries per voxel per level).
+    constexpr uint8_t kPend = 2;
     std::vector<long> queue, leftover;
     queue.reserve(1 << 16);
     leftover.reserve(1 << 16);
@@ -196,6 +238,7 @@ long thin_volume(uint8_t* vol, int nz, int ny, int nx,
                            && static_cast<float>(lvl) * lvl + 0.5f < d2)
                         ++lvl;
                 }
+                vol[i] |= kPend;
                 buckets[lvl].push_back(i);
             }
 
@@ -224,12 +267,18 @@ long thin_volume(uint8_t* vol, int nz, int ny, int nx,
         }
         for (size_t qi = 0; qi < queue.size(); ++qi) {
             long i = queue[qi];
+            vol[i] &= static_cast<uint8_t>(~kPend);
             int x = static_cast<int>(i % nx);
             int y = static_cast<int>((i / nx) % ny);
             int z = static_cast<int>(i / (static_cast<long>(nx) * ny));
             if (!consider(z, y, x, lvl2)) {
-                // still foreground: stays a candidate for later levels
-                if (vol[i] && level <= max_level) leftover.push_back(i);
+                // still foreground: stays a candidate for later levels.
+                // At the final drain there is no later level; leave the
+                // pending bit clear so a neighbor deletion re-queues it.
+                if (vol[i] && level <= max_level) {
+                    vol[i] |= kPend;
+                    leftover.push_back(i);
+                }
                 continue;
             }
             // re-examine neighbors of the deleted voxel; a deeper
@@ -241,8 +290,11 @@ long thin_volume(uint8_t* vol, int nz, int ny, int nx,
                 if (zz < 0 || yy < 0 || xx < 0 || zz >= nz || yy >= ny
                     || xx >= nx) continue;
                 long j = v.idx(zz, yy, xx);
-                if (!vol[j]) continue;
+                if (!vol[j] || (vol[j] & kPend)) continue;
+                if (!has_bg6(v, zz, yy, xx)) continue;  // re-queued when
+                                                        // it surfaces
                 if (!dist2 || dist2[j] <= lvl2) {
+                    vol[j] |= kPend;
                     queue.push_back(j);
                 } else {
                     int lvlj = level + 1;
@@ -250,11 +302,14 @@ long thin_volume(uint8_t* vol, int nz, int ny, int nx,
                     while (lvlj <= max_level
                            && static_cast<float>(lvlj) * lvlj + 0.5f < d2j)
                         ++lvlj;
+                    vol[j] |= kPend;
                     buckets[lvlj].push_back(j);
                 }
             }
         }
     }
+    // all queues drain by construction, but guarantee clean 0/1 output
+    for (long i = 0; i < n; ++i) vol[i] &= 1;
     return deleted_total;
 }
 
