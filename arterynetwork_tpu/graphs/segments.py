@@ -61,6 +61,24 @@ def _keys_to_coords(keys: np.ndarray, shape) -> np.ndarray:
     return np.stack([z, y, x], axis=1)
 
 
+def _sparse_argwhere(vol: np.ndarray) -> np.ndarray:
+    """``np.argwhere`` for very sparse boolean volumes: scan packed bytes
+    (8 voxels at a time), then unpack only the nonzero bytes — ~4x
+    faster than argwhere at skeleton densities (<0.1%)."""
+    flat = np.ascontiguousarray(vol.reshape(-1), dtype=np.uint8)
+    packed = np.packbits(flat)
+    nb = np.flatnonzero(packed)
+    if nb.size == 0:
+        return np.zeros((0, 3), np.int64)
+    bits = np.unpackbits(packed[nb])
+    offs = np.flatnonzero(bits)
+    idx = nb[offs >> 3] * 8 + (offs & 7)   # packbits is MSB-first
+    nz, ny, nx = vol.shape
+    z, rem = np.divmod(idx, ny * nx)
+    y, x = np.divmod(rem, nx)
+    return np.stack([z, y, x], axis=1).astype(np.int64)
+
+
 def _edges_from_skeleton(skeleton) -> Tuple[np.ndarray, np.ndarray, Tuple]:
     """All 26-adjacency edges of a skeleton mask as (a_keys, b_keys).
 
@@ -69,7 +87,7 @@ def _edges_from_skeleton(skeleton) -> Tuple[np.ndarray, np.ndarray, Tuple]:
     list (no full-volume shift-AND per offset)."""
     skel = np.asarray(skeleton) != 0
     shape = skel.shape
-    coords = np.argwhere(skel)
+    coords = _sparse_argwhere(skel)
     keys = _voxel_keys(coords, shape)
     order = np.argsort(keys)
     skeys = keys[order]
@@ -124,7 +142,15 @@ def _chains_from_edges(a_keys: np.ndarray, b_keys: np.ndarray):
     uniq = np.unique(np.concatenate([a_keys, b_keys]))
     a = np.searchsorted(uniq, a_keys)
     b = np.searchsorted(uniq, b_keys)
-    n = len(uniq)
+    return _chains_from_edge_indices(a, b, len(uniq)), uniq
+
+
+def _chains_from_edge_indices(a: np.ndarray, b: np.ndarray, n: int):
+    """Chain partition over pre-indexed edges (vertex ids in [0, n);
+    absent vertices simply have degree 0)."""
+    E = len(a)
+    if E == 0:
+        return []
     deg = (np.bincount(a, minlength=n)
            + np.bincount(b, minlength=n)).astype(np.int64)
 
@@ -175,7 +201,7 @@ def _chains_from_edges(a_keys: np.ndarray, b_keys: np.ndarray):
         visited[e0] = 1
         chains.append(walk(a_l[e0], b_l[e0], [a_l[e0], b_l[e0]]))
 
-    return chains, uniq
+    return chains
 
 
 def _chains_to_tuple_segments(chains, uniq_keys, shape):
@@ -337,6 +363,37 @@ def prune_spurs(segments: Sequence[Sequence[Voxel]],
     return segs
 
 
+def _prune_chains(chains, n: int, min_length: int = 3,
+                  iterations: int = 2):
+    """``prune_spurs`` on index chains (no tuple materialization between
+    rounds): drop terminal chains with <= min_length voxels, then
+    re-partition so junctions that dropped to degree 2 merge their two
+    surviving chains."""
+    for _ in range(iterations):
+        if not chains:
+            break
+        ends = np.fromiter((c[0] for c in chains), np.int64,
+                           len(chains))
+        ends = np.concatenate(
+            [ends, np.fromiter((c[-1] for c in chains), np.int64,
+                               len(chains))])
+        end_count = np.bincount(ends, minlength=n)
+        keep = [c for c in chains
+                if not ((end_count[c[0]] == 1 or end_count[c[-1]] == 1)
+                        and len(c) <= min_length)]
+        if len(keep) == len(chains):
+            break
+        if not keep:
+            return []
+        a = np.concatenate([np.asarray(c[:-1], np.int64) for c in keep])
+        b = np.concatenate([np.asarray(c[1:], np.int64) for c in keep])
+        lo, hi = np.minimum(a, b), np.maximum(a, b)
+        uniq_e = np.unique(lo * np.int64(n) + hi)
+        a, b = uniq_e // n, uniq_e % n
+        chains = _chains_from_edge_indices(a, b, n)
+    return chains
+
+
 def skeleton_to_segments(skeleton, prune_min_length: int = 0,
                          build_graph: bool = True):
     """Skeleton mask -> (G, segmentList): the output contract of the
@@ -345,8 +402,11 @@ def skeleton_to_segments(skeleton, prune_min_length: int = 0,
 
     ``build_graph=False`` skips the networkx voxel graph (returns
     ``(None, segments)``) for callers on the array fast path."""
-    segments = extract_segments_fast(skeleton)
+    a, b, shape = _edges_from_skeleton(skeleton)
+    chains, uniq = _chains_from_edges(a, b)
     if prune_min_length > 0:
-        segments = prune_spurs(segments, min_length=prune_min_length)
+        chains = _prune_chains(chains, len(uniq),
+                               min_length=prune_min_length)
+    segments = _chains_to_tuple_segments(chains, uniq, shape)
     G = segments_to_graph(segments) if build_graph else None
     return G, segments
