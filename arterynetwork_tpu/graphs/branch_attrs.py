@@ -40,7 +40,7 @@ def _path_metrics(segment):
 
 def compute_branch_attrs(segments_old: Sequence[Sequence],
                          segments_new: Sequence[Sequence],
-                         distance_transform) -> List[Dict]:
+                         distance_transform, origin=(0, 0, 0)) -> List[Dict]:
     """Per-branch attribute dicts for ``segments_new`` (vectorized).
 
     Same semantics as the reference's ``calculateBranchInfo``
@@ -54,7 +54,11 @@ def compute_branch_attrs(segments_old: Sequence[Sequence],
     measured from interior voxels).
     """
     dt = np.asarray(distance_transform)
-    shape = dt.shape
+    # segments are full-frame; a box-cropped transform passes its box
+    # start as `origin` (keys use the full-frame bound so they stay
+    # unique, dt is indexed in box coordinates)
+    org = np.asarray(origin, np.int64)
+    shape = tuple(int(o) + int(s) for o, s in zip(org, dt.shape))
 
     segs = [np.asarray(seg, dtype=np.int64) for seg in segments_new]
     n_seg = len(segs)
@@ -82,7 +86,8 @@ def compute_branch_attrs(segments_old: Sequence[Sequence],
         ofs += len(c)
     degree = np.bincount(inv, weights=slot, minlength=len(uniq))
 
-    radii_all = dt[tuple(all_coords.T)] if len(all_coords) else np.zeros(0)
+    radii_all = (dt[tuple((all_coords - org).T)] if len(all_coords)
+                 else np.zeros(0))
     deg_all = degree[inv]
     if old_keys is None:
         in_old = np.ones(len(keys_all), bool)

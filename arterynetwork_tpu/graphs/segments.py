@@ -204,8 +204,10 @@ def _chains_from_edge_indices(a: np.ndarray, b: np.ndarray, n: int):
     return chains
 
 
-def _chains_to_tuple_segments(chains, uniq_keys, shape):
+def _chains_to_tuple_segments(chains, uniq_keys, shape, origin=(0, 0, 0)):
     coords = _keys_to_coords(uniq_keys, shape)
+    if any(origin):
+        coords = coords + np.asarray(origin, coords.dtype)
     coord_tuples = [tuple(c) for c in coords.tolist()]
     return [[coord_tuples[i] for i in chain] for chain in chains]
 
@@ -395,18 +397,20 @@ def _prune_chains(chains, n: int, min_length: int = 3,
 
 
 def skeleton_to_segments(skeleton, prune_min_length: int = 0,
-                         build_graph: bool = True):
+                         build_graph: bool = True, origin=(0, 0, 0)):
     """Skeleton mask -> (G, segmentList): the output contract of the
     reference's skeletonization stage (graphRepresentation + segmentList,
     skeletonization.py:745-790).
 
     ``build_graph=False`` skips the networkx voxel graph (returns
-    ``(None, segments)``) for callers on the array fast path."""
+    ``(None, segments)``) for callers on the array fast path.  A
+    box-cropped skeleton passes its box start as ``origin`` so the
+    emitted segments carry full-frame coordinates."""
     a, b, shape = _edges_from_skeleton(skeleton)
     chains, uniq = _chains_from_edges(a, b)
     if prune_min_length > 0:
         chains = _prune_chains(chains, len(uniq),
                                min_length=prune_min_length)
-    segments = _chains_to_tuple_segments(chains, uniq, shape)
+    segments = _chains_to_tuple_segments(chains, uniq, shape, origin)
     G = segments_to_graph(segments) if build_graph else None
     return G, segments

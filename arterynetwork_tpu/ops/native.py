@@ -192,6 +192,21 @@ def skeletonize_native(mask, distance_ordered: bool = True,
     return out
 
 
+def skeletonize_native_cropped(mask_box, d2_box,
+                               preserve_endpoints: bool = True) -> np.ndarray:
+    """Thinning on an already-cropped volume with a precomputed SQUARED
+    distance transform — the pipeline's box-coordinate fast path (no
+    re-bboxing, no full-frame copies, no sqrt->square round trip)."""
+    vol = np.ascontiguousarray(np.asarray(mask_box) != 0, dtype=np.uint8)
+    d2 = np.ascontiguousarray(d2_box, dtype=np.float32)
+    nz, ny, nx = vol.shape
+    get_lib().thin_volume(
+        vol.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), nz, ny, nx,
+        d2.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        int(preserve_endpoints))
+    return vol.astype(bool)
+
+
 def simple_point_native(code: int) -> bool:
     """Simple-point oracle for a 26-bit neighborhood code."""
     return bool(get_lib().simple_point_code(ctypes.c_uint32(code)))

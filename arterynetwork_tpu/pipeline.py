@@ -201,7 +201,8 @@ def skeletonize_stage(mask, config=None, store=None, affine=None,
 
 
 def graph_stage(skeleton, mask, config=None, store=None,
-                distance_transform=None, build_nx: bool = True):
+                distance_transform=None, build_nx: bool = True,
+                origin=(0, 0, 0)):
     """Skeleton -> simple-branch segments + branch attributes (C5/C6/C7).
 
     Returns (G, segments, attrs).  ``build_nx=False`` skips the voxel-
@@ -209,6 +210,10 @@ def graph_stage(skeleton, mask, config=None, store=None,
     ``attrs`` carry everything the solve needs; the nx graph is only
     required for graphml artifacts, the editing engine and voxel-level
     morphology.
+
+    ``skeleton`` and ``distance_transform`` may be box-cropped with
+    ``origin`` = box start (the pipeline fast path); emitted segments
+    always carry full-frame coordinates.
     """
     from .graphs.branch_attrs import calculate_branch_info, \
         compute_branch_attrs
@@ -216,14 +221,24 @@ def graph_stage(skeleton, mask, config=None, store=None,
 
     cfg = (config or PipelineConfig()).skeleton
     _, segments = skeleton_to_segments(
-        skeleton, prune_min_length=cfg.prune_min_length, build_graph=False)
+        skeleton, prune_min_length=cfg.prune_min_length, build_graph=False,
+        origin=origin)
     if distance_transform is None:
         distance_transform = compute_mask_edt(mask)
-    attrs = compute_branch_attrs(segments, segments, distance_transform)
+        origin = (0, 0, 0)
+    attrs = compute_branch_attrs(segments, segments, distance_transform,
+                                 origin=origin)
     G = None
     if build_nx or store is not None:
+        dt_full = np.asarray(distance_transform)
+        if any(origin):
+            full = np.zeros(np.asarray(mask).shape, np.float32)
+            sl = tuple(slice(int(o), int(o) + s)
+                       for o, s in zip(origin, dt_full.shape))
+            full[sl] = dt_full
+            dt_full = full
         G = calculate_branch_info(segments, segments,
-                                  distance_transform=distance_transform)
+                                  distance_transform=dt_full)
     if store is not None:
         store.save_segment_list("segmentList.npz", segments)
         store.save_graphml("graphRepresentationCleanedWithEdgeInfo.graphml", G)
@@ -354,19 +369,52 @@ def run_pipeline(vesselness=None, brain_mask=None, seed_mask=None,
                                     store=store, affine=affine)
     timings.add("segmentation", time.perf_counter() - t0)
 
-    t0 = time.perf_counter()
-    dt = compute_mask_edt(mask)
-    timings.add("edt", time.perf_counter() - t0)
+    backend = config.skeleton.backend
+    if backend == "auto":
+        backend = "native"
+    if backend == "native":
+        # box-coordinate fast path: crop once after the mask, run EDT +
+        # thinning + chain extraction on the cropped frame (squared EDT
+        # end to end), and emit full-frame coordinates only at the
+        # segment/skeleton boundaries
+        from .ops.native import (bounding_box, edt_masked_native,
+                                 skeletonize_native_cropped)
 
-    t0 = time.perf_counter()
-    skeleton = skeletonize_stage(mask, config, store=store, affine=affine,
-                                 distance_transform=dt)
-    timings.add("skeletonization", time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        vv = np.asarray(mask) != 0
+        box = bounding_box(vv, margin=2)
+        origin = tuple(int(s.start) for s in box)
+        mask_box = np.ascontiguousarray(vv[box], np.uint8)
+        d2_box = edt_masked_native(mask_box, squared=True)
+        dt = np.sqrt(d2_box)
+        timings.add("edt", time.perf_counter() - t0)
+
+        t0 = time.perf_counter()
+        skel_work = skeletonize_native_cropped(
+            mask_box, d2_box,
+            preserve_endpoints=config.skeleton.preserve_endpoints)
+        skeleton = np.zeros(vv.shape, bool)
+        skeleton[box] = skel_work
+        if store is not None:
+            store.save_nifti("skeleton.nii.gz", skeleton.astype(np.uint8),
+                             affine=affine, astype=np.uint8)
+        timings.add("skeletonization", time.perf_counter() - t0)
+    else:
+        t0 = time.perf_counter()
+        dt = compute_mask_edt(mask)
+        origin = (0, 0, 0)
+        timings.add("edt", time.perf_counter() - t0)
+
+        t0 = time.perf_counter()
+        skeleton = skeletonize_stage(mask, config, store=store,
+                                     affine=affine, distance_transform=dt)
+        skel_work = skeleton
+        timings.add("skeletonization", time.perf_counter() - t0)
 
     t0 = time.perf_counter()
     G, segments, attrs = graph_stage(
-        skeleton, mask, config, store=store, distance_transform=dt,
-        build_nx=(config.flow.graph_path == "nx"))
+        skel_work, mask, config, store=store, distance_transform=dt,
+        build_nx=(config.flow.graph_path == "nx"), origin=origin)
     timings.add("graph", time.perf_counter() - t0)
 
     if root is None:

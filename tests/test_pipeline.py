@@ -159,3 +159,46 @@ def test_soa_flow_path_matches_nx_path():
              for c, i in of_soa.items()}
     for c in p_nx:
         assert abs(p_nx[c] - p_soa[c]) < 1e-6 * max(abs(p_nx[c]), 1.0)
+
+
+def test_graph_stage_box_coordinates_match_full_frame():
+    """The box-cropped (origin-shifted) fast path produces the same
+    segments and branch attributes as the full-frame path."""
+    from arterynetwork_tpu.ops.native import (bounding_box,
+                                              edt_masked_native,
+                                              skeletonize_native_cropped)
+    from arterynetwork_tpu.pipeline import compute_mask_edt, graph_stage
+
+    rng = np.random.default_rng(7)
+    mask = np.zeros((40, 48, 36), bool)
+    # a few tubes far from the volume origin so origin != (0, 0, 0)
+    mask[12:15, 20:23, 6:30] = True
+    mask[12:30, 20:23, 14:17] = True
+    mask[25:28, 8:32, 15:18] = True
+
+    box = bounding_box(mask, margin=2)
+    origin = tuple(int(s.start) for s in box)
+    assert any(origin)
+    mask_box = np.ascontiguousarray(mask[box], np.uint8)
+    d2_box = edt_masked_native(mask_box, squared=True)
+    skel_box = skeletonize_native_cropped(mask_box, d2_box)
+
+    skel_full = np.zeros(mask.shape, bool)
+    skel_full[box] = skel_box
+    dt_full = compute_mask_edt(mask)
+
+    cfg = PipelineConfig()
+    _, seg_box, attrs_box = graph_stage(
+        skel_box, mask, cfg, distance_transform=np.sqrt(d2_box),
+        build_nx=False, origin=origin)
+    _, seg_full, attrs_full = graph_stage(
+        skel_full, mask, cfg, distance_transform=dt_full, build_nx=False)
+
+    canon = lambda segs: sorted(
+        min(tuple(s), tuple(reversed(s)))
+        for s in (tuple(map(tuple, x)) for x in segs))
+    assert canon(seg_box) == canon(seg_full)
+    for a, b in zip(attrs_box, attrs_full):
+        assert set(a) == set(b)
+        for k in a:
+            np.testing.assert_allclose(a[k], b[k], rtol=1e-12)
