@@ -98,7 +98,7 @@ def edt_native(mask, squared: bool = False) -> np.ndarray:
 
 
 def edt_masked_native(mask, r_max: int = 16,
-                      squared: bool = False) -> np.ndarray:
+                      squared: bool = False, out=None) -> np.ndarray:
     """Exact EDT evaluated at foreground voxels only (banded
     sorted-offset scan, native).
 
@@ -112,7 +112,8 @@ def edt_masked_native(mask, r_max: int = 16,
     """
     m = np.ascontiguousarray(np.asarray(mask) != 0, dtype=np.uint8)
     nz, ny, nx = m.shape
-    out = np.empty(m.shape, np.float32)
+    if out is None or out.shape != m.shape or out.dtype != np.float32:
+        out = np.empty(m.shape, np.float32)
     unresolved = get_lib().edt3d_sq_masked(
         m.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
         nz, ny, nx, int(r_max),

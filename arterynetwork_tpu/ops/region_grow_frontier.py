@@ -98,13 +98,20 @@ def _frontier_kernel(TZ, TY, Xp, n_ty, num_bins,
                      ids_ref, nact_ref,              # scalar prefetch
                      seg_in, bins_in, words_ref,     # inputs
                      seg_out, snap_ref, dhist_ref, flags_ref,  # outputs
-                     seg_box, bin_box, acc, sems):   # scratch
+                     seg_box, bin_box, acc,
+                     snap_sems, in_seg_sems, in_bin_sems, out_sems):
     # seg_out is aliased to seg_in (in-place update of the live volume).
     # phase 0 snapshots each active tile's halo'd box into snap_ref;
     # phase 1 computes from the snapshot and writes the interior back —
     # sequential grid order means all snapshots happen before any write,
     # which is what keeps the sweep Jacobi (no tile ever reads a
     # same-iteration neighbor write through its halo).
+    #
+    # All DMAs are double-buffered on step parity: snapshots overlap each
+    # other; phase-1 step i prefetches step i+1's inputs into the other
+    # buffer pair and leaves its own writeback in flight, waited one step
+    # later (or at the final step).  This hides most of the per-tile DMA
+    # latency behind compute.
     del seg_in
     R = TY + 2 * PADY
     BZ = TZ + 2
@@ -112,19 +119,25 @@ def _frontier_kernel(TZ, TY, Xp, n_ty, num_bins,
     phase = pl.program_id(0)
     step = pl.program_id(1)
     n_steps = pl.num_programs(1)
+    nact = nact_ref[0]
+    par = step & 1
+
+    def tile_zy(s):
+        tid = ids_ref[s]
+        nty32 = jnp.int32(n_ty)
+        tz = (tid // nty32).astype(jnp.int32)
+        ty = (tid % nty32).astype(jnp.int32)
+        # (global z of the interior start, window start in the padded
+        #  array == global y of the interior start)
+        return tz * jnp.int32(TZ), ty * jnp.int32(TY)
+
+    z0, y0 = tile_zy(step)
+
+    valid = step < nact
 
     @pl.when((phase == 0) & (step == 0))
     def _():
         acc[:] = jnp.zeros_like(acc)
-
-    valid = step < nact_ref[0]
-    tid = ids_ref[step]
-    nty32 = jnp.int32(n_ty)
-    tz = (tid // nty32).astype(jnp.int32)
-    ty = (tid % nty32).astype(jnp.int32)
-    z0 = tz * jnp.int32(TZ)   # global z of the interior start
-    y0 = ty * jnp.int32(TY)   # window start in the padded array
-                              # == global y of the interior start
 
     @pl.when(phase == 0)
     def _():
@@ -133,29 +146,62 @@ def _frontier_kernel(TZ, TY, Xp, n_ty, num_bins,
         flags_ref[step, 0] = 0
         flags_ref[step, 1] = 0
 
+    def snap_copy(s, z, y):
+        return pltpu.make_async_copy(
+            seg_out.at[pl.ds(z, BZ), pl.ds(y, R), :],
+            snap_ref.at[s], snap_sems.at[s & 1])
+
     @pl.when(valid & (phase == 0))
     def _():
-        snap = pltpu.make_async_copy(
-            seg_out.at[pl.ds(z0, BZ), pl.ds(y0, R), :],
-            snap_ref.at[step], sems.at[0])
-        snap.start()
-        snap.wait()
+        snap_copy(step, z0, y0).start()
+
+    @pl.when((phase == 0) & (step >= 1) & (step - 1 < nact))
+    def _():
+        pz, py = tile_zy(step - 1)
+        snap_copy(step - 1, pz, py).wait()
+
+    @pl.when((phase == 0) & (step == n_steps - 1) & valid)
+    def _():
+        snap_copy(step, z0, y0).wait()
+
+    def in_copies(s, z, y, p):
+        return (pltpu.make_async_copy(snap_ref.at[s], seg_box.at[p],
+                                      in_seg_sems.at[p]),
+                pltpu.make_async_copy(
+                    bins_in.at[pl.ds(z, BZ), pl.ds(y, R), :],
+                    bin_box.at[p], in_bin_sems.at[p]))
+
+    @pl.when((phase == 1) & (step == 0) & valid)
+    def _():
+        a, c = in_copies(0, z0, y0, 0)
+        a.start()
+        c.start()
+
+    # writeback of step-1 completes before its buffers are reused
+    @pl.when((phase == 1) & (step >= 1) & (step - 1 < nact))
+    def _():
+        pz, py = tile_zy(step - 1)
+        pltpu.make_async_copy(
+            seg_box.at[(step - 1) & 1, pl.ds(1, TZ), pl.ds(PADY, TY), :],
+            seg_out.at[pl.ds(pz + 1, TZ), pl.ds(py + PADY, TY), :],
+            out_sems.at[(step - 1) & 1]).wait()
+
+    @pl.when((phase == 1) & (step + 1 < nact))
+    def _():
+        nz_, ny_ = tile_zy(step + 1)
+        a, c = in_copies(step + 1, nz_, ny_, 1 - par)
+        a.start()
+        c.start()
 
     @pl.when(valid & (phase == 1))
     def _():
-        in_seg = pltpu.make_async_copy(snap_ref.at[step], seg_box,
-                                       sems.at[0])
-        in_bin = pltpu.make_async_copy(
-            bins_in.at[pl.ds(z0, BZ), pl.ds(y0, R), :],
-            bin_box, sems.at[1])
-        in_seg.start()
-        in_bin.start()
-        in_seg.wait()
-        in_bin.wait()
+        a, c = in_copies(step, z0, y0, par)
+        a.wait()
+        c.wait()
 
         # int32 mask algebra throughout (3D i1 relayouts are fragile)
-        segi = (seg_box[:] != 0).astype(jnp.int32)
-        packed = bin_box[:]
+        segi = (seg_box[par] != 0).astype(jnp.int32)
+        packed = bin_box[par]
         binv = packed & 255          # intensity bin
         inside = (packed >> 8) & 1   # inside-volume flag
         n27_in = packed >> 9         # 27-neighborhood inside count
@@ -189,14 +235,15 @@ def _frontier_kernel(TZ, TY, Xp, n_ty, num_bins,
         flags_ref[step, 0] = n_flips
         flags_ref[step, 1] = jnp.max(jnp.max(bnd, axis=0))
 
-        seg_box[:] = seg_new.astype(jnp.uint8)
+        seg_box[par] = seg_new.astype(jnp.uint8)
         # write back the interior rows; full-x rows are safe (the x halo
-        # is global padding where flips are masked to zero)
-        out_dma = pltpu.make_async_copy(
-            seg_box.at[pl.ds(1, TZ), pl.ds(PADY, TY), :],
+        # is global padding where flips are masked to zero).  The DMA is
+        # left in flight — waited at step+1 before this buffer parity is
+        # reused, or by the end-of-grid drain below.
+        pltpu.make_async_copy(
+            seg_box.at[par, pl.ds(1, TZ), pl.ds(PADY, TY), :],
             seg_out.at[pl.ds(z0 + 1, TZ), pl.ds(y0 + PADY, TY), :],
-            sems.at[2])
-        out_dma.start()
+            out_sems.at[par]).start()
 
         # histogram delta of flipped voxels (+1 newly segmented, -1
         # newly unsegmented): static 8-row blocks, bins on sublanes of a
@@ -219,7 +266,14 @@ def _frontier_kernel(TZ, TY, Xp, n_ty, num_bins,
                         acc[:] = acc[:] + jnp.sum(
                             eq * blk_s[:, None, :], axis=0)
 
-        out_dma.wait()
+    # end-of-grid drain: the final step's writeback has no successor step
+    # to wait it (it is waited at step+1 only when step+1 exists)
+    @pl.when((phase == 1) & (step == n_steps - 1) & (nact == n_steps))
+    def _():
+        pltpu.make_async_copy(
+            seg_box.at[par, pl.ds(1, TZ), pl.ds(PADY, TY), :],
+            seg_out.at[pl.ds(z0 + 1, TZ), pl.ds(y0 + PADY, TY), :],
+            out_sems.at[par]).wait()
 
     @pl.when((phase == 1) & (step == n_steps - 1))
     def _():
@@ -348,10 +402,13 @@ def _region_grow_frontier_jit(data, seed_mask, H, max_segment_size,
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
         scratch_shapes=[
-            pltpu.VMEM((BZ, R, Xp), jnp.uint8),
-            pltpu.VMEM((BZ, R, Xp), jnp.int32),
+            pltpu.VMEM((2, BZ, R, Xp), jnp.uint8),   # parity pair
+            pltpu.VMEM((2, BZ, R, Xp), jnp.int32),   # parity pair
             pltpu.VMEM((num_bins, Xp), jnp.float32),
-            pltpu.SemaphoreType.DMA((3,)),
+            pltpu.SemaphoreType.DMA((2,)),  # snapshots
+            pltpu.SemaphoreType.DMA((2,)),  # seg inputs
+            pltpu.SemaphoreType.DMA((2,)),  # bin inputs
+            pltpu.SemaphoreType.DMA((2,)),  # writebacks
         ],
     )
     kernel = functools.partial(_frontier_kernel, TZ, TY, Xp, nty,

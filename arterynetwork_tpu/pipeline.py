@@ -37,6 +37,19 @@ from .utils.hostmem import configure_host_allocator
 configure_host_allocator()
 
 
+_SCRATCH: Dict = {}
+
+
+def _edt_scratch(shape):
+    """Reusable float32 volume buffer (pipeline-internal; see the
+    first-touch note at its call site)."""
+    arr = _SCRATCH.get("edt")
+    if arr is None or arr.shape != tuple(shape):
+        arr = np.empty(shape, np.float32)
+        _SCRATCH["edt"] = arr
+    return arr
+
+
 @dataclasses.dataclass
 class StageTimings:
     seconds: Dict[str, float] = dataclasses.field(default_factory=dict)
@@ -385,14 +398,18 @@ def run_pipeline(vesselness=None, brain_mask=None, seed_mask=None,
         box = bounding_box(vv, margin=2)
         origin = tuple(int(s.start) for s in box)
         mask_box = np.ascontiguousarray(vv[box], np.uint8)
-        d2_box = edt_masked_native(mask_box, squared=True)
-        dt = np.sqrt(d2_box)
+        # the squared transform reuses a module-level scratch buffer: a
+        # fresh >100 MB allocation is mmap'd and first-touched on every
+        # run on this VM (seconds of page faults at MRA scale)
+        d2_box = edt_masked_native(mask_box, squared=True,
+                                   out=_edt_scratch(mask_box.shape))
         timings.add("edt", time.perf_counter() - t0)
 
         t0 = time.perf_counter()
         skel_work = skeletonize_native_cropped(
             mask_box, d2_box,
             preserve_endpoints=config.skeleton.preserve_endpoints)
+        dt = np.sqrt(d2_box, out=d2_box)  # thinning consumed the squares
         skeleton = np.zeros(vv.shape, bool)
         skeleton[box] = skel_work
         if store is not None:

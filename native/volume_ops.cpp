@@ -301,7 +301,11 @@ long label_components_26(const uint8_t* mask, int nz, int ny, int nx,
 long drop_small_components_26(uint8_t* mask, int nz, int ny, int nx,
                               long threshold) {
     const long total = static_cast<long>(nz) * ny * nx;
-    std::vector<int32_t> labels(total, 0);
+    // static scratch: a fresh 4*total allocation would be mmap'd and
+    // first-touched on every call (~seconds at MRA scale on this VM);
+    // reusing keeps the pages heap-resident across pipeline runs
+    static std::vector<int32_t> labels;
+    labels.assign(total, 0);
     long k = label_components_26(mask, nz, ny, nx, labels.data());
     if (k == 0) return 0;
     std::vector<long> sizes(k + 1, 0);
