@@ -103,21 +103,18 @@ def _apply_axis_matrix(vol, B, axis):
                       preferred_element_type=jnp.float32)
 
 
-def hessian_at_scale(vol, sigma: float):
-    """gamma=1 normalized Hessian (xx, yy, zz, xy, xz, yz).
-
-    Smooth once with the Gaussian (3 separable passes), then central
-    finite differences for the second derivatives — G''*I = D2(G*I), so
-    this is the derivative-of-smoothed formulation (what skimage's Frangi
-    uses) at ~5x fewer full-volume passes than separate derivative
-    kernels per component.  All passes are banded-matrix contractions on
-    the MXU (edge replication encoded in the difference-matrix border
-    rows); the cross terms reuse the three first-derivative fields."""
+def _smooth(vol, sigma: float):
+    """Gaussian smoothing, three separable banded-matmul passes."""
     g0 = _gaussian_kernel(sigma, 0)
-    s2 = jnp.float32(sigma * sigma)
     sm = vol
     for axis in range(3):
         sm = _conv_axis(sm, g0, axis)
+    return sm
+
+
+def _hessian_from_smoothed(sm, sigma: float):
+    """gamma=1 normalized Hessian components from the smoothed field."""
+    s2 = jnp.float32(sigma * sigma)
 
     def d1(x, axis):
         return _apply_axis_matrix(x, _diff_matrix(x.shape[axis], 1), axis)
@@ -132,6 +129,19 @@ def hessian_at_scale(vol, sigma: float):
             d1(dz, 1) * q,   # xy  (axes 0,1)
             d1(dz, 2) * q,   # xz  (axes 0,2)
             d1(dy, 2) * q)   # yz  (axes 1,2)
+
+
+def hessian_at_scale(vol, sigma: float):
+    """gamma=1 normalized Hessian (xx, yy, zz, xy, xz, yz).
+
+    Smooth once with the Gaussian (3 separable passes), then central
+    finite differences for the second derivatives — G''*I = D2(G*I), so
+    this is the derivative-of-smoothed formulation (what skimage's Frangi
+    uses) at ~5x fewer full-volume passes than separate derivative
+    kernels per component.  All passes are banded-matrix contractions on
+    the MXU (edge replication encoded in the difference-matrix border
+    rows); the cross terms reuse the three first-derivative fields."""
+    return _hessian_from_smoothed(_smooth(vol, float(sigma)), float(sigma))
 
 
 def symmetric_eigvals_3x3(a11, a22, a33, a12, a13, a23):
@@ -167,7 +177,12 @@ def symmetric_eigvals_3x3(a11, a22, a33, a12, a13, a23):
 
 def _scale_response(vol, sigma, alpha, beta, g, bright):
     """Single-scale Frangi response given the scale weight ``g``."""
-    hxx, hyy, hzz, hxy, hxz, hyz = hessian_at_scale(vol, float(sigma))
+    return _response_from_hessian(hessian_at_scale(vol, float(sigma)),
+                                  alpha, beta, g, bright)
+
+
+def _response_from_hessian(hs, alpha, beta, g, bright):
+    hxx, hyy, hzz, hxy, hxz, hyz = hs
     l1a, l2a, l3a = symmetric_eigvals_3x3(hxx, hyy, hzz, hxy, hxz, hyz)
     a, b, c = l1a, l2a, l3a
 
@@ -197,13 +212,18 @@ def _scale_s_max(vol, sigma, z_lo=None, z_hi=None):
     """max of the Hessian Frobenius norm at one scale, optionally over
     z-rows [z_lo, z_hi) only (chunked callers must exclude the halo: the
     slab-edge zero padding fabricates a sharp edge whose response would
-    inflate the max)."""
+    inflate the max).
+
+    S = sqrt(sum lambda_i^2) IS the Frobenius norm — computed directly
+    from the Hessian entries, no per-voxel eigendecomposition (the
+    arccos/cos path is the expensive elementwise part of a scale pass).
+    """
     hxx, hyy, hzz, hxy, hxz, hyz = hessian_at_scale(vol, float(sigma))
-    l1, l2, l3 = symmetric_eigvals_3x3(hxx, hyy, hzz, hxy, hxz, hyz)
-    s = jnp.sqrt(l1 ** 2 + l2 ** 2 + l3 ** 2)
+    s2 = (hxx * hxx + hyy * hyy + hzz * hzz
+          + 2.0 * (hxy * hxy + hxz * hxz + hyz * hyz))
     if z_lo is not None:
-        s = jax.lax.slice_in_dim(s, z_lo, z_hi, axis=0)
-    return jnp.max(s)
+        s2 = jax.lax.slice_in_dim(s2, z_lo, z_hi, axis=0)
+    return jnp.sqrt(jnp.max(s2))
 
 
 def frangi_vesselness_chunked(volume, sigmas=(1.0, 2.0, 3.0),
@@ -235,15 +255,28 @@ def frangi_vesselness_chunked(volume, sigmas=(1.0, 2.0, 3.0),
     best = jnp.zeros((Zp,) + vol.shape[1:], jnp.float32)
     for sigma in sigmas:
         if gamma is None:
-            g = jnp.max(jnp.stack(
-                [_smax_chunk(volp, s, float(sigma), halo, chunk_z)
-                 for s in starts])) * 0.5
+            # gamma pass caches the smoothed field per interior chunk so
+            # the response pass skips re-smoothing (the 3 banded-matmul
+            # passes are the bulk of a scale evaluation), and takes the
+            # Frobenius max straight from the Hessian (no eigen pass)
+            smf = jnp.zeros_like(volp)
+            parts = []
+            for s in starts:
+                smf, smax_c = _smax_chunk_cache(smf, volp, s, float(sigma),
+                                                halo, chunk_z)
+                parts.append(smax_c)
+            g = jnp.max(jnp.stack(parts)) * 0.5
+            for s in starts:
+                best = _apply_chunk_sm(best, smf, s, g, float(sigma),
+                                       float(alpha), float(beta),
+                                       bool(bright), halo, chunk_z)
+            del smf
         else:
             g = jnp.float32(gamma)
-        for s in starts:
-            best = _apply_chunk(best, volp, s, g, float(sigma),
-                                float(alpha), float(beta), bool(bright),
-                                halo, chunk_z)
+            for s in starts:
+                best = _apply_chunk(best, volp, s, g, float(sigma),
+                                    float(alpha), float(beta),
+                                    bool(bright), halo, chunk_z)
     return best[:Z]
 
 
@@ -256,6 +289,48 @@ def _smax_chunk(volp, start, sigma, halo, chunk_z):
     sl = jax.lax.dynamic_slice_in_dim(volp, start, chunk_z + 2 * halo,
                                       axis=0)
     return _scale_s_max(sl, sigma, z_lo=halo, z_hi=halo + chunk_z)
+
+
+@functools.partial(jax.jit, static_argnames=("sigma", "halo", "chunk_z"),
+                   donate_argnums=(0,))
+def _smax_chunk_cache(smf, volp, start, sigma, halo, chunk_z):
+    """Frobenius S-max of one chunk + write its interior smoothed rows
+    into the full-frame cache ``smf`` (consumed by ``_apply_chunk_sm``).
+    """
+    sl = jax.lax.dynamic_slice_in_dim(volp, start, chunk_z + 2 * halo,
+                                      axis=0)
+    sm = _smooth(sl, sigma)
+    hxx, hyy, hzz, hxy, hxz, hyz = _hessian_from_smoothed(sm, sigma)
+    s2 = (hxx * hxx + hyy * hyy + hzz * hzz
+          + 2.0 * (hxy * hxy + hxz * hxz + hyz * hyz))
+    s2 = jax.lax.slice_in_dim(s2, halo, halo + chunk_z, axis=0)
+    smf = jax.lax.dynamic_update_slice_in_dim(
+        smf, jax.lax.slice_in_dim(sm, halo, halo + chunk_z, axis=0),
+        start + halo, axis=0)
+    return smf, jnp.sqrt(jnp.max(s2))
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("sigma", "alpha", "beta", "bright",
+                                    "halo", "chunk_z"),
+                   donate_argnums=(0,))
+def _apply_chunk_sm(best, smf, start, g, sigma, alpha, beta, bright,
+                    halo, chunk_z):
+    """Frangi response of one chunk from the cached smoothed field.
+
+    Interior rows are >= halo >= 2 away from the slab edges, so the
+    edge-replicate difference matrices never touch them; the slab's halo
+    rows come from neighboring chunks' exact interiors (or the zero
+    padding at the volume faces, matching the zero-padded tail the
+    direct path sees there)."""
+    sm = jax.lax.dynamic_slice_in_dim(smf, start, chunk_z + 2 * halo,
+                                      axis=0)
+    hs = _hessian_from_smoothed(sm, sigma)
+    v = _response_from_hessian(hs, alpha, beta, g, bright)
+    v = jax.lax.slice_in_dim(v, halo, halo + chunk_z, axis=0)
+    cur = jax.lax.dynamic_slice_in_dim(best, start, chunk_z, axis=0)
+    return jax.lax.dynamic_update_slice_in_dim(
+        best, jnp.maximum(cur, v), start, axis=0)
 
 
 @functools.partial(jax.jit,
