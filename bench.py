@@ -361,13 +361,26 @@ def bench_pipeline_512():
     cfg.flow.dtype = "float32"
     cfg.flow.linear_solver = "auto"
 
+    import gc
+
+    import jax
+
     run_pipeline(raw_volume=raw, config=cfg)  # warm up compiles
-    t0 = time.perf_counter()
-    result = run_pipeline(raw_volume=raw, config=cfg)
-    total = time.perf_counter() - t0
+    # median of 3: the tunnel wire fluctuates by whole seconds run to
+    # run, and deferred frees of the previous run's device buffers can
+    # stall the next upload — collect + sync outside the timed region
+    totals = []
+    for _ in range(3):
+        gc.collect()
+        jax.device_get(jax.numpy.zeros(()))  # drain the device queue
+        t0 = time.perf_counter()
+        result = run_pipeline(raw_volume=raw, config=cfg)
+        totals.append(time.perf_counter() - t0)
+    total = sorted(totals)[1]
     mask_recall = float(result["mask"][phantom["mask"]].astype(bool).mean())
     return {
         "pipeline_512_s": total,
+        "pipeline_512_s_best": min(totals),
         "pipeline_512_timings": result["timings"],
         "pipeline_512_mask_voxels": int(result["mask"].sum()),
         "pipeline_512_segments": len(result["segments"]),
