@@ -165,34 +165,39 @@ def region_grow(
         return stop < 0
 
     def body(state):
+        # Unconditional apply + post-checked size cap: the state that
+        # first reaches the cap is final (the reference returns it
+        # without applying the NEXT update, :101-104), so checking the
+        # cap after the update that crossed it — and never entering the
+        # next body — is equivalent and drops a full-volume select.
         seg, active, it, count, _ = state
         flips = compute_flips(seg, active)
-        n_flips = jnp.sum(flips, dtype=jnp.int32)
+        n_pos = jnp.sum(flips & ~seg, dtype=jnp.int32)
+        n_neg = jnp.sum(flips & seg, dtype=jnp.int32)
+        n_flips = n_pos + n_neg
 
         converged = n_flips == 0
-        size_capped = count >= max_segment_size
-        # Apply flips only if still running (reference returns the
-        # pre-update state when the size cap trips, :101-104).
-        apply = ~(converged | size_capped)
-        seg_new = jnp.where(apply, jnp.logical_xor(seg, flips), seg)
+        seg_new = jnp.logical_xor(seg, flips)  # no-op when converged
         if track_active:
-            active_new = jnp.where(apply,
-                                   active | dilate26(dilate26(flips)),
-                                   active)
+            active_new = jnp.where(converged, active,
+                                   active | dilate26(dilate26(flips)))
         else:
             active_new = active
-        count_new = jnp.sum(seg_new, dtype=jnp.int32)
-        it_new = it + apply.astype(jnp.int32)
+        count_new = count + n_pos - n_neg
+        size_capped = count_new >= max_segment_size
+        it_new = it + (~converged).astype(jnp.int32)
 
-        stop = jnp.where(converged, 0,
+        stop = jnp.where(converged & ~size_capped, 0,
                          jnp.where(size_capped, 1,
                                    jnp.where(it_new >= iter_max, 2, -1)))
         stop = stop.astype(jnp.int32)
         return seg_new, active_new, it_new, count_new, stop
 
     count0 = jnp.sum(seg0, dtype=jnp.int32)
-    state0 = (seg0, active0, jnp.zeros((), jnp.int32), count0,
-              jnp.full((), -1, jnp.int32))
+    # a seed already at/over the size cap never updates (reference
+    # semantics: the capped state is returned unmodified)
+    stop0 = jnp.where(count0 >= max_segment_size, 1, -1).astype(jnp.int32)
+    state0 = (seg0, active0, jnp.zeros((), jnp.int32), count0, stop0)
     seg, active, it, count, stop = jax.lax.while_loop(cond, body, state0)
     return RegionGrowResult(segmented_map=seg, active_map=active,
                             iterations=it, segmented_count=count,
