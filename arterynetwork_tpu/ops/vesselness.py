@@ -228,7 +228,8 @@ def _scale_s_max(vol, sigma, z_lo=None, z_hi=None):
 
 def frangi_vesselness_chunked(volume, sigmas=(1.0, 2.0, 3.0),
                               alpha=0.5, beta=0.5, gamma=None,
-                              bright=True, chunk_z: int = 96):
+                              bright=True, chunk_z: int = 96,
+                              donate_input: bool = False):
     """Multiscale Frangi for volumes whose full-grid temporaries exceed
     HBM (~8 f32 fields per scale; a 880x880x640 Speck volume OOMs one
     v5e chip).  The volume is processed in halo'd z slabs; when
@@ -246,13 +247,25 @@ def frangi_vesselness_chunked(volume, sigmas=(1.0, 2.0, 3.0),
         jnp.asarray(np.asarray(volume, np.float32))
     vol = vol.astype(jnp.float32)
     Z = vol.shape[0]
+    shape_yx = vol.shape[1:]
     halo = int(np.ceil(3.0 * max(sigmas))) + 1
     n_chunks = -(-Z // chunk_z)
     Zp = n_chunks * chunk_z
     volp = jnp.pad(vol, ((halo, Zp - Z + halo), (0, 0), (0, 0)))
+    if donate_input and isinstance(volume, jax.Array):
+        # Speck-scale HBM budget: volp + smoothed cache + best is ~8 GB
+        # of the 16 GB chip; keeping the 2 GB input alive on top tips
+        # the allocator into host spilling (measured: the in-pipeline
+        # stage thrashed at ~150x the standalone time).  The caller
+        # opts in to having its array freed once the padded copy exists.
+        # (block_until_ready returns at ENQUEUE on this backend — a
+        # device->host read is the only real barrier)
+        jax.device_get(volp[0, 0, 0])
+        volume.delete()
+    del vol
 
     starts = [c * chunk_z for c in range(n_chunks)]
-    best = jnp.zeros((Zp,) + vol.shape[1:], jnp.float32)
+    best = jnp.zeros((Zp,) + shape_yx, jnp.float32)
     for sigma in sigmas:
         if gamma is None:
             # gamma pass caches the smoothed field per interior chunk so

@@ -108,7 +108,8 @@ def vesselness_stage(raw_volume, config: Optional[PipelineConfig] = None,
         v = frangi_vesselness_chunked(
             raw_d, sigmas=tuple(cfg.sigmas),
             alpha=cfg.alpha, beta=cfg.beta, gamma=cfg.gamma,
-            bright=cfg.bright)
+            bright=cfg.bright, donate_input=True)
+        del raw_d  # buffer freed inside (HBM headroom at Speck scale)
     else:
         v = frangi_vesselness(
             raw_d,

@@ -26,7 +26,9 @@ _M_TOP_PAD = -2
 _M_MMAP_THRESHOLD = -3
 
 
-def configure_host_allocator(threshold_bytes: int = 1 << 30) -> bool:
+def configure_host_allocator(threshold_bytes: int = (1 << 31) - 1) -> bool:
+    # INT_MAX: mallopt takes a C int, and Speck-scale stages allocate
+    # ~2 GB temporaries that must stay heap-resident too
     """Keep large malloc blocks heap-resident and reusable.  Idempotent.
     Returns True if mallopt was applied."""
     global _configured
