@@ -208,24 +208,6 @@ def _response_from_hessian(hs, alpha, beta, g, bright):
     return v
 
 
-def _scale_s_max(vol, sigma, z_lo=None, z_hi=None):
-    """max of the Hessian Frobenius norm at one scale, optionally over
-    z-rows [z_lo, z_hi) only (chunked callers must exclude the halo: the
-    slab-edge zero padding fabricates a sharp edge whose response would
-    inflate the max).
-
-    S = sqrt(sum lambda_i^2) IS the Frobenius norm — computed directly
-    from the Hessian entries, no per-voxel eigendecomposition (the
-    arccos/cos path is the expensive elementwise part of a scale pass).
-    """
-    hxx, hyy, hzz, hxy, hxz, hyz = hessian_at_scale(vol, float(sigma))
-    s2 = (hxx * hxx + hyy * hyy + hzz * hzz
-          + 2.0 * (hxy * hxy + hxz * hxz + hyz * hyz))
-    if z_lo is not None:
-        s2 = jax.lax.slice_in_dim(s2, z_lo, z_hi, axis=0)
-    return jnp.sqrt(jnp.max(s2))
-
-
 def frangi_vesselness_chunked(volume, sigmas=(1.0, 2.0, 3.0),
                               alpha=0.5, beta=0.5, gamma=None,
                               bright=True, chunk_z: int = 96,
@@ -297,13 +279,6 @@ def frangi_vesselness_chunked(volume, sigmas=(1.0, 2.0, 3.0),
 # fresh jit cache every invocation and RECOMPILE every program through
 # the (slow, remote) compiler — warm Speck-scale runs went from ~80 s to
 # ~2 s when these were hoisted
-@functools.partial(jax.jit, static_argnames=("sigma", "halo", "chunk_z"))
-def _smax_chunk(volp, start, sigma, halo, chunk_z):
-    sl = jax.lax.dynamic_slice_in_dim(volp, start, chunk_z + 2 * halo,
-                                      axis=0)
-    return _scale_s_max(sl, sigma, z_lo=halo, z_hi=halo + chunk_z)
-
-
 @functools.partial(jax.jit, static_argnames=("sigma", "halo", "chunk_z"),
                    donate_argnums=(0,))
 def _smax_chunk_cache(smf, volp, start, sigma, halo, chunk_z):

@@ -90,3 +90,23 @@ def test_chunked_matches_unchunked():
     chunked_g = np.asarray(frangi_vesselness_chunked(
         vol, sigmas=(1.5,), gamma=0.7, chunk_z=24))
     np.testing.assert_allclose(chunked_g[1:-1], full_g[1:-1], atol=1e-5)
+
+
+def test_chunked_donate_input():
+    """donate_input frees a jax.Array input after the padded copy is
+    built (numpy inputs are untouched); output is unchanged."""
+    import jax.numpy as jnp
+
+    from arterynetwork_tpu.ops.vesselness import frangi_vesselness_chunked
+
+    rng = np.random.default_rng(5)
+    vol = rng.normal(0.1, 0.05, (40, 32, 24)).astype(np.float32)
+    vol[10:30, 14:18, 10:14] += 1.0
+    ref = np.asarray(frangi_vesselness_chunked(vol, sigmas=(1.5,),
+                                               chunk_z=16))
+    dvol = jnp.asarray(vol)
+    out = np.asarray(frangi_vesselness_chunked(dvol, sigmas=(1.5,),
+                                               chunk_z=16,
+                                               donate_input=True))
+    np.testing.assert_allclose(out, ref, atol=1e-6)
+    assert dvol.is_deleted()
