@@ -250,9 +250,14 @@ def bench_region_grow():
         return it, n
 
     itf, nf = run_frontier()
-    t0 = time.perf_counter()
-    itf, nf = run_frontier()
-    tf = time.perf_counter() - t0
+    # median of 3 (cheap at ~0.15 s/run; single runs occasionally catch
+    # a device-side stall and misreport by ~2x)
+    tfs = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        itf, nf = run_frontier()
+        tfs.append(time.perf_counter() - t0)
+    tf = sorted(tfs)[1]
     assert nf == n, (nf, n)
 
     voxels = float(np.prod(shape))
