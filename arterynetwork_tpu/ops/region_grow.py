@@ -130,12 +130,14 @@ def region_grow(
             num_bins).astype(dtype)
 
     def compute_flips(seg, active):
-        inner_bnd = seg & dilate26(~seg)
         if track_active:
+            inner_bnd = seg & dilate26(~seg)
             outer_bnd = (~seg) & active & dilate26(seg)
+            all_bnd = inner_bnd | outer_bnd
         else:
-            outer_bnd = (~seg) & dilate26(seg)
-        all_bnd = inner_bnd | outer_bnd
+            # boundary = mixed 27-neighborhood; the dilations cover the
+            # seg/unseg split of the union themselves
+            all_bnd = dilate26(seg) & dilate26(~seg)
 
         seg_flat = seg.reshape(-1)
         if track_active:
