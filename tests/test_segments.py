@@ -93,3 +93,33 @@ def test_prune_spurs():
     tips |= {s[-1] for s in pruned if G.degree(s[-1]) == 1}
     assert (5, 12, 11) not in tips
     assert (2, 10, 10) in tips and (17, 17, 10) in tips and (17, 3, 10) in tips
+
+
+def test_prune_spurs_keeps_cycles_and_merges_through_junctions():
+    """Index-level pruning: a loop with a short spur loses the spur, and
+    the two loop arcs re-merge through the junction that dropped to
+    degree 2 (CoW loops must survive spur cleanup intact)."""
+    import numpy as np
+
+    from arterynetwork_tpu.graphs.segments import skeleton_to_segments
+
+    skel = np.zeros((3, 16, 16), bool)
+    # diamond ring |y-8|+|x-8| == 5 (chord-free under 26-adjacency,
+    # unlike an axis-aligned rectangle whose corners add diagonal edges)
+    for y in range(16):
+        for x in range(16):
+            if abs(y - 8) + abs(x - 8) == 5:
+                skel[1, y, x] = True
+    # 2-voxel spur hanging off the ring apex (1, 3, 8)
+    skel[1, 2, 8] = True
+    skel[1, 1, 8] = True
+
+    _, segs = skeleton_to_segments(skel, prune_min_length=3,
+                                   build_graph=False)
+    # after pruning the spur, the loop is a single closed chain
+    assert len(segs) == 1
+    seg = segs[0]
+    assert seg[0] == seg[-1]
+    voxels = {tuple(v) for v in seg}
+    assert (1, 2, 8) not in voxels and (1, 1, 8) not in voxels
+    assert len(voxels) == 20  # the full diamond ring
