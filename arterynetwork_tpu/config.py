@@ -37,6 +37,20 @@ class SegmentationConfig:
     near_boundary_fraction: float = 0.8      # :188
     global_threshold_fraction: float = 0.7   # :190
     min_component_size: int = 150            # :198
+    # Hysteresis mask (when set): weak floor at this fraction of the
+    # vesselness range; components of the weak mask are kept only when
+    # they contain a voxel above ``global_threshold_fraction`` (the
+    # strong seeds).  The capability analog of the reference's strong
+    # threshold + variational growing (generateVesselVolume.py:186-199 +
+    # variationalRegionGrowing.py:10): the low floor keeps thin vessels
+    # connected, strong seeds reject isolated noise.  None = plain
+    # single-threshold mask (exact reference semantics).
+    weak_threshold_fraction: Optional[float] = None
+    # Zero the response within this many voxels of the volume faces:
+    # the filter's boundary band is unreliable (the reference suppresses
+    # near-boundary responses the same way via the brain-mask distance,
+    # generateVesselVolume.py:186-191).  0 = off.
+    border_margin_voxels: int = 0
     H: float = 2.25                          # variationalRegionGrowing.py:10
     max_segment_size: int = 5000             # :10
     iter_max: int = 200                      # :56
@@ -51,6 +65,21 @@ class SkeletonConfig:
     preserve_endpoints: bool = True
     prune_min_length: int = 2   # manualCorrectionGUIDetail.py:1571 (2-voxel)
     backend: str = "auto"       # "jax" | "native" | "auto"
+    # Skeleton-graph simplification (graphs/segments.simplify_chains).
+    # The reference leaves these artifacts to the manual-correction GUI
+    # (checkCycle + human edits, manualCorrectionGUIDetail.py:642-684);
+    # the automated pipeline cleans them structurally:
+    #   collapse_junctions  — contract 26-adjacent clusters of junction
+    #                         voxels to their most-interior member
+    #   prune_radius_factor — drop terminal branches shorter than
+    #                         factor * junction radius (thinning spurs)
+    #   cycle_tight_ratio   — cut cycles with total length <= ratio *
+    #                         max arc radius (intra-vessel meshes); long
+    #                         loops (e.g. Circle of Willis) are kept
+    collapse_junctions: bool = True
+    prune_radius_factor: float = 2.5
+    cycle_tight_ratio: float = 16.0
+    simplify_rounds: int = 3
 
 
 @dataclasses.dataclass

@@ -396,8 +396,214 @@ def _prune_chains(chains, n: int, min_length: int = 3,
     return chains
 
 
+# ---------------------------------------------------------------------------
+# Skeleton-graph simplification.
+#
+# A 26-connected thinning skeleton is not a clean curve network: junction
+# voxels come in adjacent clusters (every pair of adjacent degree>=3
+# voxels is its own 2-voxel "segment"), triangles of mutually-adjacent
+# voxels create tiny cycles, and thick vessels leave short parallel arcs
+# that re-merge (intra-vessel meshes).  The reference leaves all of this
+# to the manual-correction GUI (cycle display + human edits,
+# manualCorrectionGUIDetail.py:642-684); the automated pipeline cleans it
+# structurally with the three passes below, which on the 512 phantom
+# bench take the segment count from ~2100 to ~550 for 400 true branches
+# without losing centerline recall.
+# ---------------------------------------------------------------------------
+
+
+def _rebuild_chains(chains, n):
+    """Re-partition chain edges into simple chains (dedupes edges,
+    merges degree-2 pass-throughs created by a previous pass)."""
+    if not chains:
+        return []
+    a = np.concatenate([np.asarray(c[:-1], np.int64) for c in chains])
+    b = np.concatenate([np.asarray(c[1:], np.int64) for c in chains])
+    lo, hi = np.minimum(a, b), np.maximum(a, b)
+    uniq_e = np.unique(lo * np.int64(n) + hi)
+    return _chains_from_edge_indices(uniq_e // n, uniq_e % n, n)
+
+
+def collapse_junction_clusters(a, b, n, radius):
+    """Contract 26-adjacent clusters of junction (degree>=3) vertices to
+    their max-radius member (the most interior voxel).
+
+    Input/output are edge index arrays over ``n`` vertices.  Self-edges
+    and duplicate edges created by the contraction are dropped, so
+    triangles *inside* a cluster vanish and each rasterized bifurcation
+    becomes a single graph node (the reference's voxel graph keeps the
+    cluster and its 2-voxel segments, skeletonization.py:311-333)."""
+    deg = np.bincount(a, minlength=n) + np.bincount(b, minlength=n)
+    isj = deg >= 3
+    parent = np.arange(n, dtype=np.int64)
+
+    def find(x):
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:
+            parent[x], x = root, parent[x]
+        return root
+
+    jj = isj[a] & isj[b]
+    for x, y in zip(a[jj].tolist(), b[jj].tolist()):
+        rx, ry = find(x), find(y)
+        if rx != ry:
+            parent[ry] = rx
+    roots = np.fromiter((find(i) for i in range(n)), np.int64, n)
+    # representative per cluster = member with max radius (stable sort:
+    # the LAST assignment per root wins)
+    rep_of_root: Dict[int, int] = {}
+    for i in np.argsort(radius, kind="stable").tolist():
+        rep_of_root[roots[i]] = i
+    rep = np.fromiter((rep_of_root[r] for r in roots.tolist()), np.int64, n)
+    a2, b2 = rep[a], rep[b]
+    keep = a2 != b2
+    a2, b2 = a2[keep], b2[keep]
+    lo, hi = np.minimum(a2, b2), np.maximum(a2, b2)
+    uniq_e = np.unique(lo * np.int64(n) + hi)
+    return uniq_e // n, uniq_e % n
+
+
+def prune_parallel_arcs(chains, n, radius, factor: float = 3.0,
+                        min_keep: int = 6):
+    """Drop duplicate short arcs between the same junction pair (keep the
+    max-mean-radius one) and short self-loops — thinning leftovers inside
+    thick vessels.  Arcs longer than ``max(min_keep, factor * junction
+    radius)`` are never dropped (they may be real anatomy)."""
+    from collections import defaultdict
+    groups = defaultdict(list)
+    out = []
+    for c in chains:
+        if c[0] == c[-1]:
+            if len(c) <= max(min_keep, factor * radius[c[0]]) * 2:
+                continue
+            out.append(c)
+            continue
+        key = (c[0], c[-1]) if c[0] < c[-1] else (c[-1], c[0])
+        groups[key].append(c)
+    for key, cs in groups.items():
+        if len(cs) == 1:
+            out.append(cs[0])
+            continue
+        score = [float(np.mean(radius[np.asarray(c)])) for c in cs]
+        best = int(np.argmax(score))
+        rj = max(radius[key[0]], radius[key[1]])
+        for i, c in enumerate(cs):
+            if i == best or len(c) > max(min_keep, factor * rj):
+                out.append(c)
+    return out
+
+
+def prune_artifact_cycles(chains, n, radius, tight_ratio: float = 16.0,
+                          iterations: int = 3):
+    """Cut thinning-artifact cycles: for every basis cycle whose total
+    arc length is <= ``tight_ratio`` x its max arc radius (a mesh *inside*
+    one thick vessel: its extent is a few vessel diameters), remove the
+    weakest (min mean-radius) arc.  Long loops — real anatomy like the
+    Circle of Willis — are far above the ratio and never touched."""
+    import networkx as nx
+    for _ in range(iterations):
+        if not chains:
+            break
+        info = [(len(c), float(np.mean(radius[np.asarray(c)])))
+                for c in chains]
+        Gs = nx.Graph()
+        for i, c in enumerate(chains):
+            if c[0] != c[-1] and not Gs.has_edge(c[0], c[-1]):
+                Gs.add_edge(c[0], c[-1], key=i)
+        drop = set()
+        for cyc in nx.cycle_basis(Gs):
+            arcs = []
+            ok = True
+            for u, v in zip(cyc, cyc[1:] + cyc[:1]):
+                if not Gs.has_edge(u, v):
+                    ok = False
+                    break
+                arcs.append(Gs[u][v]["key"])
+            if not ok or any(k in drop for k in arcs):
+                continue
+            tot = sum(info[k][0] for k in arcs)
+            rmax = max(info[k][1] for k in arcs)
+            if tot <= tight_ratio * max(rmax, 0.5):
+                drop.add(min(arcs, key=lambda k: (info[k][1], -info[k][0])))
+        if not drop:
+            break
+        chains = _rebuild_chains(
+            [c for i, c in enumerate(chains) if i not in drop], n)
+    return chains
+
+
+def _prune_chains_radius(chains, n, radius, min_length: int = 3,
+                         factor: float = 2.5, iterations: int = 4):
+    """Radius-aware spur pruning: drop terminal chains shorter than
+    ``max(min_length, factor * junction radius)`` voxels — curve-thinning
+    grows one spur per surface bump, with length about the local vessel
+    radius.  Isolated chains only honor ``min_length``."""
+    for _ in range(iterations):
+        if not chains:
+            break
+        ends = np.fromiter((c[0] for c in chains), np.int64, len(chains))
+        ends = np.concatenate(
+            [ends, np.fromiter((c[-1] for c in chains), np.int64,
+                               len(chains))])
+        end_count = np.bincount(ends, minlength=n)
+        keep = []
+        for c in chains:
+            t0, t1 = end_count[c[0]] == 1, end_count[c[-1]] == 1
+            if t0 and t1:
+                if len(c) <= min_length:
+                    continue
+            elif t0 or t1:
+                rj = radius[c[-1]] if t0 else radius[c[0]]
+                if len(c) <= max(min_length, factor * rj):
+                    continue
+            keep.append(c)
+        if len(keep) == len(chains):
+            break
+        chains = _rebuild_chains(keep, n)
+    return chains
+
+
+def simplify_chains(chains, n, radius, min_length: int = 3,
+                    collapse: bool = True, radius_factor: float = 2.5,
+                    cycle_tight_ratio: float = 16.0, rounds: int = 3):
+    """Full simplification: junction-cluster collapse -> parallel-arc
+    dedupe -> tight-cycle cut -> radius-aware spur prune, iterated (each
+    pass exposes work for the next: pruning a spur merges its junction's
+    surviving arcs, collapse after that may merge clusters, ...)."""
+    for _ in range(rounds):
+        if not chains:
+            break
+        before = len(chains)
+        if collapse:
+            a = np.concatenate([np.asarray(c[:-1], np.int64)
+                                for c in chains])
+            b = np.concatenate([np.asarray(c[1:], np.int64)
+                                for c in chains])
+            a, b = collapse_junction_clusters(a, b, n, radius)
+            chains = _chains_from_edge_indices(a, b, n)
+        n_before = len(chains)
+        chains = prune_parallel_arcs(chains, n, radius)
+        if len(chains) != n_before:
+            chains = _rebuild_chains(chains, n)
+        if cycle_tight_ratio > 0:
+            chains = prune_artifact_cycles(chains, n, radius,
+                                           cycle_tight_ratio)
+        chains = _prune_chains_radius(chains, n, radius,
+                                      min_length=min_length,
+                                      factor=radius_factor)
+        if len(chains) == before:
+            break
+    return chains
+
+
 def skeleton_to_segments(skeleton, prune_min_length: int = 0,
-                         build_graph: bool = True, origin=(0, 0, 0)):
+                         build_graph: bool = True, origin=(0, 0, 0),
+                         distance_transform=None, simplify: bool = False,
+                         radius_factor: float = 2.5,
+                         cycle_tight_ratio: float = 16.0,
+                         simplify_rounds: int = 3):
     """Skeleton mask -> (G, segmentList): the output contract of the
     reference's skeletonization stage (graphRepresentation + segmentList,
     skeletonization.py:745-790).
@@ -405,10 +611,24 @@ def skeleton_to_segments(skeleton, prune_min_length: int = 0,
     ``build_graph=False`` skips the networkx voxel graph (returns
     ``(None, segments)``) for callers on the array fast path.  A
     box-cropped skeleton passes its box start as ``origin`` so the
-    emitted segments carry full-frame coordinates."""
+    emitted segments carry full-frame coordinates.
+
+    With ``simplify=True`` and a ``distance_transform`` (same frame as
+    ``skeleton``), the full structural cleanup runs instead of the plain
+    length prune: junction-cluster collapse, parallel-arc dedupe,
+    tight-cycle cut, and radius-aware spur pruning (``simplify_chains``).
+    """
     a, b, shape = _edges_from_skeleton(skeleton)
     chains, uniq = _chains_from_edges(a, b)
-    if prune_min_length > 0:
+    if simplify and distance_transform is not None and len(uniq):
+        radius = np.asarray(distance_transform,
+                            np.float32).reshape(-1)[uniq]
+        chains = simplify_chains(chains, len(uniq), radius,
+                                 min_length=max(prune_min_length, 3),
+                                 radius_factor=radius_factor,
+                                 cycle_tight_ratio=cycle_tight_ratio,
+                                 rounds=simplify_rounds)
+    elif prune_min_length > 0:
         chains = _prune_chains(chains, len(uniq),
                                min_length=prune_min_length)
     segments = _chains_to_tuple_segments(chains, uniq, shape, origin)

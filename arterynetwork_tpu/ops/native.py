@@ -75,6 +75,13 @@ def get_lib():
         ctypes.c_int, ctypes.c_int, ctypes.c_int,
         ctypes.c_long,
     ]
+    lib.hysteresis_components_26.restype = ctypes.c_long
+    lib.hysteresis_components_26.argtypes = [
+        ctypes.POINTER(ctypes.c_uint8),
+        ctypes.POINTER(ctypes.c_uint8),
+        ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.c_long,
+    ]
     _lib = lib
     return lib
 
@@ -112,7 +119,8 @@ def edt_masked_native(mask, r_max: int = 16,
     """
     m = np.ascontiguousarray(np.asarray(mask) != 0, dtype=np.uint8)
     nz, ny, nx = m.shape
-    if out is None or out.shape != m.shape or out.dtype != np.float32:
+    if (out is None or out.shape != m.shape or out.dtype != np.float32
+            or not out.flags['C_CONTIGUOUS']):
         out = np.empty(m.shape, np.float32)
     unresolved = get_lib().edt3d_sq_masked(
         m.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
@@ -133,6 +141,28 @@ def label_components_native(mask) -> "tuple[np.ndarray, int]":
         m.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), nz, ny, nx,
         labels.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)))
     return labels, int(k)
+
+
+def hysteresis_components_native(weak, strong, min_size: int = 0) -> np.ndarray:
+    """Keep 26-connected components of ``weak`` that contain a ``strong``
+    voxel and exceed ``min_size`` voxels (native seeded flood fill; only
+    kept components are ever visited).
+
+    The segmentation-stage counterpart of the reference's strong
+    threshold + growing design (generateVesselVolume.py:186-199 +
+    variationalRegionGrowing.py:10): a low floor keeps thin vessels
+    connected, strong seeds reject isolated noise components.
+    """
+    w = np.ascontiguousarray(np.asarray(weak) != 0, dtype=np.uint8)
+    s = np.ascontiguousarray(np.asarray(strong) != 0, dtype=np.uint8)
+    if w.shape != s.shape:
+        raise ValueError(f"shape mismatch: {w.shape} vs {s.shape}")
+    nz, ny, nx = w.shape
+    get_lib().hysteresis_components_26(
+        w.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        s.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        nz, ny, nx, int(min_size))
+    return w
 
 
 def drop_small_components_native(mask, threshold: int) -> np.ndarray:

@@ -64,21 +64,66 @@ import jax as _jax
 import jax.numpy as _jnp
 
 
-@_jax.jit
-def _threshold_plain(v, global_frac):
+def _border_core(shape, margin: int):
+    """Mask that is False within ``margin`` voxels of any volume face
+    (the filter's boundary band is unreliable; analog of the reference's
+    near-boundary suppression, generateVesselVolume.py:186-191)."""
+    core = _jnp.zeros(shape, bool)
+    return core.at[margin:-margin, margin:-margin, margin:-margin].set(True)
+
+
+@_functools.partial(_jax.jit, static_argnames=("margin",))
+def _threshold_plain(v, global_frac, margin=0):
     vmin = _jnp.min(v)
     rng = _jnp.max(v) - vmin
-    return v > vmin + global_frac * rng
+    keep = v > vmin + global_frac * rng
+    if margin:
+        keep = keep & _border_core(v.shape, margin)
+    return keep
 
 
-@_functools.partial(_jax.jit, static_argnames=("boundary_dist",))
-def _threshold_with_brain(v, brain, global_frac, near_frac, boundary_dist):
+@_functools.partial(_jax.jit, static_argnames=("boundary_dist", "margin"))
+def _threshold_with_brain(v, brain, global_frac, near_frac, boundary_dist,
+                          margin=0):
     vmin = _jnp.min(v)
     rng = _jnp.max(v) - vmin
     keep = v > vmin + global_frac * rng
     dist = edt(brain != 0, band=int(boundary_dist) + 2)
     near = ((v <= vmin + near_frac * rng) & (dist <= boundary_dist))
-    return keep & ~near
+    keep = keep & ~near
+    if margin:
+        keep = keep & _border_core(v.shape, margin)
+    return keep
+
+
+@_functools.partial(_jax.jit, static_argnames=("margin",))
+def _threshold_hysteresis(v, weak_frac, strong_frac, margin=0):
+    """Stacked [weak, strong] threshold masks (one packed download)."""
+    vmin = _jnp.min(v)
+    rng = _jnp.max(v) - vmin
+    weak = v > vmin + weak_frac * rng
+    strong = v > vmin + strong_frac * rng
+    if margin:
+        core = _border_core(v.shape, margin)
+        weak = weak & core
+        strong = strong & core
+    return _jnp.stack([weak, strong])
+
+
+@_functools.partial(_jax.jit, static_argnames=("boundary_dist", "margin"))
+def _threshold_hysteresis_brain(v, brain, weak_frac, strong_frac,
+                                near_frac, boundary_dist, margin=0):
+    vmin = _jnp.min(v)
+    rng = _jnp.max(v) - vmin
+    dist = edt(brain != 0, band=int(boundary_dist) + 2)
+    near = ((v <= vmin + near_frac * rng) & (dist <= boundary_dist))
+    weak = (v > vmin + weak_frac * rng) & ~near
+    strong = (v > vmin + strong_frac * rng) & ~near
+    if margin:
+        core = _border_core(v.shape, margin)
+        weak = weak & core
+        strong = strong & core
+    return _jnp.stack([weak, strong])
 
 
 def vesselness_stage(raw_volume, config: Optional[PipelineConfig] = None,
@@ -139,18 +184,40 @@ def generate_vessel_mask(vesselness, brain_mask=None,
     cfg = (config or PipelineConfig()).segmentation
 
     v = jnp.asarray(np.asarray(vesselness, np.float32))         if not isinstance(vesselness, jax.Array) else vesselness
-    if brain_mask is not None:
-        brain = jnp.asarray(np.asarray(brain_mask))
-        keep = _threshold_with_brain(
-            v, brain, cfg.global_threshold_fraction,
-            cfg.near_boundary_fraction, int(cfg.boundary_distance_voxels))
-    else:
-        keep = _threshold_plain(v, cfg.global_threshold_fraction)
-    # the mask crosses back to the host as packed bits (32x less wire
+    margin = int(cfg.border_margin_voxels)
+    # both masks cross back to the host as packed bits (32x less wire
     # than the f32 volume)
     from .utils.transfer import mask_to_host
-    mask = mask_to_host(keep).astype(np.uint8)
-    mask = drop_small_components(mask, threshold=cfg.min_component_size)
+
+    if cfg.weak_threshold_fraction is not None:
+        # hysteresis: weak floor for connectivity, strong seeds against
+        # noise; component selection is one native seeded flood fill
+        if brain_mask is not None:
+            brain = jnp.asarray(np.asarray(brain_mask))
+            both = _threshold_hysteresis_brain(
+                v, brain, cfg.weak_threshold_fraction,
+                cfg.global_threshold_fraction, cfg.near_boundary_fraction,
+                int(cfg.boundary_distance_voxels), margin)
+        else:
+            both = _threshold_hysteresis(
+                v, cfg.weak_threshold_fraction,
+                cfg.global_threshold_fraction, margin)
+        from .ops.native import hysteresis_components_native
+        both_h = mask_to_host(both)
+        mask = hysteresis_components_native(
+            both_h[0], both_h[1], min_size=cfg.min_component_size)
+    else:
+        if brain_mask is not None:
+            brain = jnp.asarray(np.asarray(brain_mask))
+            keep = _threshold_with_brain(
+                v, brain, cfg.global_threshold_fraction,
+                cfg.near_boundary_fraction,
+                int(cfg.boundary_distance_voxels), margin)
+        else:
+            keep = _threshold_plain(v, cfg.global_threshold_fraction,
+                                    margin)
+        mask = mask_to_host(keep).astype(np.uint8)
+        mask = drop_small_components(mask, threshold=cfg.min_component_size)
 
     if store is not None:
         store.save_nifti("vesselVolumeMask.nii.gz", mask,
@@ -234,12 +301,16 @@ def graph_stage(skeleton, mask, config=None, store=None,
     from .graphs.segments import skeleton_to_segments
 
     cfg = (config or PipelineConfig()).skeleton
-    _, segments = skeleton_to_segments(
-        skeleton, prune_min_length=cfg.prune_min_length, build_graph=False,
-        origin=origin)
     if distance_transform is None:
         distance_transform = compute_mask_edt(mask)
         origin = (0, 0, 0)
+    _, segments = skeleton_to_segments(
+        skeleton, prune_min_length=cfg.prune_min_length, build_graph=False,
+        origin=origin, distance_transform=distance_transform,
+        simplify=cfg.collapse_junctions,
+        radius_factor=cfg.prune_radius_factor,
+        cycle_tight_ratio=cfg.cycle_tight_ratio,
+        simplify_rounds=cfg.simplify_rounds)
     attrs = compute_branch_attrs(segments, segments, distance_transform,
                                  origin=origin)
     G = None

@@ -359,7 +359,13 @@ def bench_pipeline_512():
     # 8-bit wire: quantization noise (0.2% of range) is 10x below the
     # phantom's image noise, and the tunnel link is the stage bottleneck
     cfg.vesselness.upload_format = "u8"
-    cfg.segmentation.global_threshold_fraction = 0.2
+    # hysteresis segmentation: weak floor keeps thin (radius 1-2)
+    # branches connected, strong seeds + native component selection
+    # reject noise, border margin suppresses the filter's volume-face
+    # ridge artifacts
+    cfg.segmentation.global_threshold_fraction = 0.3
+    cfg.segmentation.weak_threshold_fraction = 0.03
+    cfg.segmentation.border_margin_voxels = 6
     cfg.segmentation.min_component_size = 50
     cfg.skeleton.backend = "native"
     cfg.skeleton.prune_min_length = 4
@@ -383,6 +389,12 @@ def bench_pipeline_512():
         totals.append(time.perf_counter() - t0)
     total = sorted(totals)[1]
     mask_recall = float(result["mask"][phantom["mask"]].astype(bool).mean())
+
+    # tree-recovery fidelity vs the phantom's generating centerlines
+    # (untimed: scoring, not pipeline work)
+    from arterynetwork_tpu.utils.fidelity import tree_recovery_metrics
+    fid = tree_recovery_metrics(result["segments"], result["attrs"],
+                                phantom)
     return {
         "pipeline_512_s": total,
         "pipeline_512_s_best": min(totals),
@@ -392,6 +404,8 @@ def bench_pipeline_512():
         "pipeline_512_flow_edges": int(result["network"].num_edges),
         "pipeline_512_phantom_branches": int(phantom["n_branches"]),
         "pipeline_512_mask_recall": mask_recall,
+        **{f"pipeline_512_{k}": v for k, v in fid.items()
+           if k not in ("segments", "gt_branches")},
     }
 
 

@@ -319,4 +319,65 @@ long drop_small_components_26(uint8_t* mask, int nz, int ny, int nx,
     return kept;
 }
 
+// Hysteresis component selection: keep 26-connected components of `weak`
+// that contain at least one `strong` voxel and have > min_size voxels;
+// `weak` becomes the result mask in place.  Returns the number of kept
+// components.  (The reference reaches the same goal with a strong
+// threshold + variational growing, generateVesselVolume.py:186-199 +
+// variationalRegionGrowing.py:10; seeded flood fill visits only the kept
+// components instead of labeling the whole volume.)
+// Single-threaded (the BFS is inherently sequential per component and
+// the scan is memory-bound); not thread-safe on overlapping buffers.
+long hysteresis_components_26(uint8_t* weak, const uint8_t* strong,
+                              int nz, int ny, int nx, long min_size) {
+    const long plane = static_cast<long>(ny) * nx;
+    const long total = static_cast<long>(nz) * plane;
+    std::vector<long> stack;
+    std::vector<long> member;
+    stack.reserve(1 << 16);
+    member.reserve(1 << 16);
+    long kept = 0;
+    // weak voxel states: 1 = unvisited foreground, 2 = kept
+    for (long start = 0; start < total; ++start) {
+        if (!strong[start] || weak[start] != 1) continue;
+        member.clear();
+        weak[start] = 2;
+        stack.push_back(start);
+        member.push_back(start);
+        while (!stack.empty()) {
+            long cur = stack.back();
+            stack.pop_back();
+            int zc = static_cast<int>(cur / plane);
+            int yc = static_cast<int>((cur % plane) / nx);
+            int xc = static_cast<int>(cur % nx);
+            for (int dz = -1; dz <= 1; ++dz) {
+                int z2 = zc + dz;
+                if (z2 < 0 || z2 >= nz) continue;
+                for (int dy = -1; dy <= 1; ++dy) {
+                    int y2 = yc + dy;
+                    if (y2 < 0 || y2 >= ny) continue;
+                    for (int dx = -1; dx <= 1; ++dx) {
+                        int x2 = xc + dx;
+                        if (x2 < 0 || x2 >= nx) continue;
+                        long q = (static_cast<long>(z2) * ny + y2) * nx + x2;
+                        if (weak[q] == 1) {
+                            weak[q] = 2;
+                            stack.push_back(q);
+                            member.push_back(q);
+                        }
+                    }
+                }
+            }
+        }
+        if (static_cast<long>(member.size()) <= min_size) {
+            for (long q : member) weak[q] = 0;  // too small: drop
+        } else {
+            ++kept;
+        }
+    }
+    // finalize: kept voxels -> 1, unreached weak voxels -> 0
+    for (long i = 0; i < total; ++i) weak[i] = (weak[i] == 2) ? 1 : 0;
+    return kept;
+}
+
 }  // extern "C"

@@ -137,3 +137,32 @@ def test_edt_masked_border_voxels():
     ours = edt_masked_native(m, r_max=16)
     ref = ndimage.distance_transform_edt(m)
     np.testing.assert_allclose(ours[m], ref[m], atol=1e-4)
+
+
+def test_hysteresis_components_native():
+    """Seeded flood fill == keep weak CCs containing strong, > min_size."""
+    from arterynetwork_tpu.ops.native import (hysteresis_components_native,
+                                              label_components_native)
+
+    rng = np.random.default_rng(0)
+    weak = rng.random((30, 32, 34)) < 0.12
+    strong = weak & (rng.random(weak.shape) < 0.05)
+    min_size = 3
+    got = hysteresis_components_native(weak, strong, min_size=min_size)
+
+    labels, k = label_components_native(weak)
+    has_strong = np.zeros(k + 1, bool)
+    has_strong[np.unique(labels[strong])] = True
+    has_strong[0] = False
+    sizes = np.bincount(labels.ravel(), minlength=k + 1)
+    want = (has_strong & (sizes > min_size))[labels]
+    np.testing.assert_array_equal(got.astype(bool), want)
+
+
+def test_hysteresis_no_strong_clears_everything():
+    from arterynetwork_tpu.ops.native import hysteresis_components_native
+
+    weak = np.ones((5, 5, 5), bool)
+    strong = np.zeros_like(weak)
+    out = hysteresis_components_native(weak, strong)
+    assert out.sum() == 0

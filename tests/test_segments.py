@@ -123,3 +123,111 @@ def test_prune_spurs_keeps_cycles_and_merges_through_junctions():
     voxels = {tuple(v) for v in seg}
     assert (1, 2, 8) not in voxels and (1, 1, 8) not in voxels
     assert len(voxels) == 20  # the full diamond ring
+
+
+# ---------------------------------------------------------------------------
+# Skeleton-graph simplification (round-3 fidelity work)
+# ---------------------------------------------------------------------------
+
+from arterynetwork_tpu.graphs.segments import (  # noqa: E402
+    simplify_chains, _chains_from_edge_indices)
+
+
+def _chains_of(edges, n):
+    a = np.asarray([e[0] for e in edges], np.int64)
+    b = np.asarray([e[1] for e in edges], np.int64)
+    return _chains_from_edge_indices(a, b, n)
+
+
+def test_collapse_junction_cluster():
+    """Two adjacent junction voxels with 2 branches each collapse to one
+    4-way node; the 1-edge segment between them disappears."""
+    # vertices: 0,1 = adjacent junctions; 2,3 hang off 0 via chains;
+    # 4,5 hang off 1.  Chains long enough to survive pruning.
+    # layout: 2-6-0, 3-7-0, 0-1, 1-8-4, 1-9-5
+    edges = [(2, 6), (6, 10), (10, 0), (3, 7), (7, 11), (11, 0), (0, 1),
+             (1, 8), (8, 12), (12, 4), (1, 9), (9, 13), (13, 5)]
+    n = 14
+    chains = _chains_of(edges, n)
+    assert len(chains) == 5
+    radius = np.ones(n, np.float32)
+    out = simplify_chains(chains, n, radius, min_length=2,
+                          radius_factor=0.0, cycle_tight_ratio=0.0)
+    # 0/1 merged: 4 chains, all ending at the shared representative
+    assert len(out) == 4
+    reps = {c[-1] if c[0] != c[-1] else None for c in out}
+    ends = [c[0] for c in out] + [c[-1] for c in out]
+    junction = [v for v in set(ends) if ends.count(v) == 4]
+    assert len(junction) == 1 and junction[0] in (0, 1)
+
+
+def test_parallel_arc_dedupe():
+    """Two short arcs between the same junction pair: the lower-radius
+    one is dropped and the junctions merge through."""
+    # pair (0, 1) connected by arcs 0-2-1 and 0-3-1; tails 4-0, 1-5
+    edges = [(0, 2), (2, 1), (0, 3), (3, 1),
+             (4, 6), (6, 0), (1, 7), (7, 5)]
+    n = 8
+    chains = _chains_of(edges, n)
+    radius = np.ones(n, np.float32)
+    radius[2] = 3.0   # arc through 2 is fatter -> kept
+    out = simplify_chains(chains, n, radius, min_length=1,
+                          collapse=False, radius_factor=0.0,
+                          cycle_tight_ratio=0.0)
+    flat = {v for c in out for v in c}
+    assert 3 not in flat and 2 in flat
+    # after the dedupe the junctions are degree 2 -> single chain
+    assert len(out) == 1
+
+
+def test_tight_cycle_cut_keeps_long_loops():
+    """A small triangle of arcs is cut; a long loop survives."""
+    # triangle between 0,1,2 with 2-voxel arcs; long tail chains off each
+    def tail(start, base, length):
+        return [(start if i == 0 else base + i - 1, base + i)
+                for i in range(length)]
+    edges = [(0, 10), (10, 1), (1, 11), (11, 2), (2, 12), (12, 0)]
+    edges += tail(0, 20, 12) + tail(1, 40, 12) + tail(2, 60, 12)
+    n = 80
+    chains = _chains_of(edges, n)
+    radius = np.full(n, 2.0, np.float32)
+    out = simplify_chains(chains, n, radius, min_length=1,
+                          collapse=False, radius_factor=0.0,
+                          cycle_tight_ratio=16.0)
+    # one triangle arc removed -> no cycle: edges == vertices - 1
+    E = sum(len(c) - 1 for c in out)
+    V = len({v for c in out for v in c})
+    assert E == V - 1
+
+    # a long loop (60 voxels, radius 1) is preserved
+    loop = [(100 + i, 100 + (i + 1) % 60) for i in range(60)]
+    n2 = 200
+    chains2 = _chains_of(loop, n2)
+    radius2 = np.ones(n2, np.float32)
+    out2 = simplify_chains(chains2, n2, radius2, min_length=1,
+                           collapse=False, radius_factor=0.0,
+                           cycle_tight_ratio=16.0)
+    E2 = sum(len(c) - 1 for c in out2)
+    V2 = len({v for c in out2 for v in c})
+    assert E2 == V2  # cycle intact
+
+
+def test_radius_aware_spur_prune():
+    """A spur shorter than factor*junction_radius is dropped; a real
+    branch of the same length at a thin junction survives."""
+    trunk = [(i, i + 1) for i in range(0, 20)]
+    spur = [(10, 30), (30, 31), (31, 32), (32, 33)]  # 5 voxels incl. junction
+    n = 40
+    chains = _chains_of(trunk + spur, n)
+    thick = np.ones(n, np.float32)
+    thick[10] = 4.0   # junction radius 4 -> 2.5*4 = 10 > 5: prune
+    out = simplify_chains(chains, n, thick, min_length=2,
+                          collapse=False, radius_factor=2.5,
+                          cycle_tight_ratio=0.0)
+    assert len(out) == 1 and len(out[0]) == 21  # trunk re-merged
+
+    thin = np.ones(n, np.float32)  # junction radius 1 -> keep the spur
+    out2 = simplify_chains(_chains_of(trunk + spur, n), n, thin,
+                           min_length=2, collapse=False,
+                           radius_factor=2.5, cycle_tight_ratio=0.0)
+    assert len(out2) == 3
