@@ -82,6 +82,13 @@ def get_lib():
         ctypes.c_int, ctypes.c_int, ctypes.c_int,
         ctypes.c_long,
     ]
+    lib.hysteresis_components_ds2_26.restype = ctypes.c_long
+    lib.hysteresis_components_ds2_26.argtypes = [
+        ctypes.POINTER(ctypes.c_uint8),
+        ctypes.POINTER(ctypes.c_uint8),
+        ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.c_long,
+    ]
     _lib = lib
     return lib
 
@@ -159,6 +166,28 @@ def hysteresis_components_native(weak, strong, min_size: int = 0) -> np.ndarray:
         raise ValueError(f"shape mismatch: {w.shape} vs {s.shape}")
     nz, ny, nx = w.shape
     get_lib().hysteresis_components_26(
+        w.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        s.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        nz, ny, nx, int(min_size))
+    return w
+
+
+def hysteresis_components_ds2_native(weak, strong_ds,
+                                     min_size: int = 0) -> np.ndarray:
+    """``hysteresis_components_native`` seeded from a 2x any-pooled
+    strong mask (shape = ceil(weak.shape / 2)).
+
+    Exact: all voxels of a 2x2x2 block are mutually 26-adjacent, so any
+    weak voxel in a block containing a strong voxel is in that voxel's
+    component — while the strong mask crosses the wire at 1/8 the bits.
+    """
+    w = np.ascontiguousarray(np.asarray(weak) != 0, dtype=np.uint8)
+    s = np.ascontiguousarray(np.asarray(strong_ds) != 0, dtype=np.uint8)
+    nz, ny, nx = w.shape
+    expect = ((nz + 1) // 2, (ny + 1) // 2, (nx + 1) // 2)
+    if s.shape != expect:
+        raise ValueError(f"strong_ds shape {s.shape} != {expect}")
+    get_lib().hysteresis_components_ds2_26(
         w.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
         s.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
         nz, ny, nx, int(min_size))

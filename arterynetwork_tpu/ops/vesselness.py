@@ -336,6 +336,167 @@ def _apply_chunk(best, volp, start, g, sigma, alpha, beta, bright,
         best, jnp.maximum(cur, v), start, axis=0)
 
 
+@functools.partial(jax.jit, donate_argnums=(0,))
+def _upload_slab_u8(volp, slab_u8, start, scale, offset):
+    """Dequantize one uint8 slab and write it into the padded volume."""
+    sl = slab_u8.astype(jnp.float32) * scale + offset
+    return jax.lax.dynamic_update_slice_in_dim(volp, sl, start, axis=0)
+
+
+@functools.partial(jax.jit, donate_argnums=(0,),
+                   static_argnames=("rows", "yx"))
+def _upload_slab_u12(volp, packed, start, scale, offset, rows, yx):
+    """Unpack one 12-bit-packed slab (3 bytes / 2 voxels) into volp."""
+    b0 = packed[:, 0].astype(jnp.int32)
+    b1 = packed[:, 1].astype(jnp.int32)
+    b2 = packed[:, 2].astype(jnp.int32)
+    v0 = (b0 << 4) | (b1 >> 4)
+    v1 = ((b1 & 0xF) << 8) | b2
+    n = rows * int(np.prod(yx))
+    vals = jnp.stack([v0, v1], axis=1).reshape(-1)[:n]
+    sl = (vals.astype(jnp.float32) * scale + offset).reshape((rows,) + yx)
+    return jax.lax.dynamic_update_slice_in_dim(volp, sl, start, axis=0)
+
+
+@functools.partial(jax.jit, donate_argnums=(0,))
+def _upload_slab_f16(volp, slab_f16, start):
+    return jax.lax.dynamic_update_slice_in_dim(
+        volp, slab_f16.astype(jnp.float32), start, axis=0)
+
+
+def frangi_vesselness_streamed(raw, sigmas=(1.0, 2.0, 3.0),
+                               alpha=0.5, beta=0.5, gamma=None,
+                               bright=True, chunk_z: int = 48,
+                               bits: int = 8):
+    """Multiscale Frangi from a HOST volume with the upload streamed
+    slab-by-slab, overlapped with the first scale's gamma pass.
+
+    On a tunneled TPU the wire is the pipeline bottleneck (upload ~40
+    MB/s); uploading the whole quantized volume before computing
+    serializes wire and MXU.  Here slab ``c+1``'s transfer is enqueued
+    before chunk ``c``'s Hessian pass, so the runtime moves bytes while
+    the MXU works, and the raw volume only ever exists on device in its
+    padded chunked form (no full-volume staging copy — at Speck scale
+    this also removes the donate-and-delete dance the chunked device
+    path needs).  Output is bit-identical to ``frangi_vesselness_chunked``
+    on the same quantized field.
+
+    ``bits``: wire format — 8 / 12 (packed fixed point) or 16 (f16).
+    Returns ``(vesselness, upload_phase_s, compute_phase_s)``; the first
+    phase is the interleaved upload+first-scale pass (wire-bound), the
+    second is the remaining pure-compute passes, both synced via a
+    device->host read (block_until_ready returns at enqueue time on the
+    tunneled backend).
+    """
+    import time as _time
+
+    raw = np.asarray(raw)
+    Z = raw.shape[0]
+    shape_yx = raw.shape[1:]
+    yx = int(np.prod(shape_yx))
+    sigmas = tuple(float(s) for s in sigmas)
+    halo = int(np.ceil(3.0 * max(sigmas))) + 1
+    assert chunk_z >= halo, (chunk_z, halo)
+    n_chunks = -(-Z // chunk_z)
+    Zp = n_chunks * chunk_z
+
+    mn = float(raw.min())
+    scale = (float(raw.max()) - mn) or 1.0
+
+    t0 = _time.perf_counter()
+    volp = jnp.zeros((Zp + 2 * halo,) + shape_yx, jnp.float32)
+
+    def upload(volp, c):
+        lo = c * chunk_z
+        hi = min(Z, lo + chunk_z)
+        rows = hi - lo
+        sl = raw[lo:hi]
+        if bits == 8:
+            q = np.round((sl.astype(np.float32) - mn)
+                         * (255.0 / scale)).astype(np.uint8)
+            return _upload_slab_u8(volp, jnp.asarray(q), lo + halo,
+                                   scale / 255.0, mn)
+        if bits == 12:
+            flat = sl.reshape(-1).astype(np.float32)
+            pad = (-flat.shape[0]) % 2
+            if pad:
+                flat = np.concatenate([flat, flat[-1:]])
+            q = np.round((flat - mn) * (4095.0 / scale)).astype(np.uint16)
+            q0, q1 = q[0::2], q[1::2]
+            packed = np.empty((q0.shape[0], 3), np.uint8)
+            packed[:, 0] = q0 >> 4
+            packed[:, 1] = ((q0 & 0xF) << 4) | (q1 >> 8)
+            packed[:, 2] = q1 & 0xFF
+            return _upload_slab_u12(volp, jnp.asarray(packed), lo + halo,
+                                    jnp.float32(scale / 4095.0),
+                                    jnp.float32(mn), rows, shape_yx)
+        return _upload_slab_f16(volp, jnp.asarray(sl.astype(np.float16)),
+                                lo + halo)
+
+    starts = [c * chunk_z for c in range(n_chunks)]
+    sigma0 = sigmas[0]
+    best = jnp.zeros((Zp,) + shape_yx, jnp.float32)
+
+    # phase 1 (wire-bound): slab uploads interleaved with the first
+    # scale's smoothed-field/S-max chunks.  Chunk c reads padded rows
+    # [c*cz, (c+1)*cz + 2*halo) = raw rows up to (c+1)*cz + halo, so it
+    # needs slab c+1 uploaded (chunk_z >= halo).
+    volp = upload(volp, 0)
+    if gamma is None:
+        smf0 = jnp.zeros_like(volp)
+        parts0 = []
+        for c in range(n_chunks):
+            if c + 1 < n_chunks:
+                volp = upload(volp, c + 1)
+            smf0, smax_c = _smax_chunk_cache(smf0, volp, starts[c],
+                                            sigma0, halo, chunk_z)
+            parts0.append(smax_c)
+        jax.device_get(parts0[-1])  # wire+first-pass barrier
+        t_upload = _time.perf_counter() - t0
+
+        t0 = _time.perf_counter()
+        g0 = jnp.max(jnp.stack(parts0)) * 0.5
+        for s in starts:
+            best = _apply_chunk_sm(best, smf0, s, g0, sigma0,
+                                   float(alpha), float(beta),
+                                   bool(bright), halo, chunk_z)
+        del smf0
+        rest = sigmas[1:]
+    else:
+        for c in range(1, n_chunks):
+            volp = upload(volp, c)
+        jax.device_get(volp[0, 0, 0])
+        t_upload = _time.perf_counter() - t0
+        t0 = _time.perf_counter()
+        rest = sigmas
+
+    # phase 2 (compute-bound): remaining scales on the resident volume
+    for sigma in rest:
+        if gamma is None:
+            smf = jnp.zeros_like(volp)
+            parts = []
+            for s in starts:
+                smf, smax_c = _smax_chunk_cache(smf, volp, s, float(sigma),
+                                                halo, chunk_z)
+                parts.append(smax_c)
+            g = jnp.max(jnp.stack(parts)) * 0.5
+            for s in starts:
+                best = _apply_chunk_sm(best, smf, s, g, float(sigma),
+                                       float(alpha), float(beta),
+                                       bool(bright), halo, chunk_z)
+            del smf
+        else:
+            g = jnp.float32(gamma)
+            for s in starts:
+                best = _apply_chunk(best, volp, s, g, float(sigma),
+                                    float(alpha), float(beta),
+                                    bool(bright), halo, chunk_z)
+    out = best[:Z]
+    jax.device_get(out[0, 0, 0])
+    t_compute = _time.perf_counter() - t0
+    return out, t_upload, t_compute
+
+
 @functools.partial(jax.jit, static_argnames=("sigmas", "alpha", "beta",
                                              "gamma", "bright"))
 def frangi_vesselness(volume, sigmas=(1.0, 2.0, 3.0), alpha=0.5, beta=0.5,

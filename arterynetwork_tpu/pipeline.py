@@ -96,9 +96,19 @@ def _threshold_with_brain(v, brain, global_frac, near_frac, boundary_dist,
     return keep
 
 
+def _any_pool2(m):
+    """2x any-pooled mask, shape = ceil(shape / 2) (the wire format for
+    hysteresis strong seeds: exact component selection at 1/8 the bits,
+    ops/native.hysteresis_components_ds2_native)."""
+    z, y, x = m.shape
+    mp = _jnp.pad(m, ((0, z % 2), (0, y % 2), (0, x % 2)))
+    return mp.reshape((z + 1) // 2, 2, (y + 1) // 2, 2,
+                      (x + 1) // 2, 2).any(axis=(1, 3, 5))
+
+
 @_functools.partial(_jax.jit, static_argnames=("margin",))
 def _threshold_hysteresis(v, weak_frac, strong_frac, margin=0):
-    """Stacked [weak, strong] threshold masks (one packed download)."""
+    """(weak mask, 2x-pooled strong mask) for hysteresis selection."""
     vmin = _jnp.min(v)
     rng = _jnp.max(v) - vmin
     weak = v > vmin + weak_frac * rng
@@ -107,7 +117,7 @@ def _threshold_hysteresis(v, weak_frac, strong_frac, margin=0):
         core = _border_core(v.shape, margin)
         weak = weak & core
         strong = strong & core
-    return _jnp.stack([weak, strong])
+    return weak, _any_pool2(strong)
 
 
 @_functools.partial(_jax.jit, static_argnames=("boundary_dist", "margin"))
@@ -123,44 +133,36 @@ def _threshold_hysteresis_brain(v, brain, weak_frac, strong_frac,
         core = _border_core(v.shape, margin)
         weak = weak & core
         strong = strong & core
-    return _jnp.stack([weak, strong])
+    return weak, _any_pool2(strong)
 
 
 def vesselness_stage(raw_volume, config: Optional[PipelineConfig] = None,
-                     store=None, affine=None):
+                     store=None, affine=None, timings=None):
     """Raw MRA volume -> Frangi vesselness (on-device; replaces the
-    reference's external SlicerVMTK preprocessing, README.md:37-65)."""
-    from .ops.vesselness import frangi_vesselness
+    reference's external SlicerVMTK preprocessing, README.md:37-65).
 
-    import jax.numpy as jnp
+    The quantized upload streams slab-by-slab overlapped with the first
+    scale's pass (the wire is the stage bottleneck on a tunneled TPU),
+    and the volume only ever exists on device in its padded chunked form
+    — which also makes Speck-scale volumes fit without a staging copy.
+    With a ``timings`` struct, the wire-bound and compute-bound phases
+    are attributed separately (``vesselness_upload`` /
+    ``vesselness_compute``) so a wire regression is distinguishable from
+    a compute regression.
+    """
+    from .ops.vesselness import frangi_vesselness_streamed
 
     cfg = (config or PipelineConfig()).vesselness
-    # the wire is the bottleneck: raw MRA is ~12-bit, so the default wire
-    # format is packed 12-bit fixed point (1.5 B/voxel), dequantized on
-    # device (utils/transfer.upload_quantized)
-    from .utils.transfer import upload_quantized
-
-    if cfg.upload_format == "f16":
-        raw_d = jnp.asarray(np.asarray(raw_volume, np.float16)).astype(
-            jnp.float32)
-    else:
-        raw_d = upload_quantized(raw_volume,
-                                 bits=8 if cfg.upload_format == "u8" else 12)
-    if int(np.prod(raw_d.shape)) > 2 * 10 ** 8:
-        # Speck-scale volumes OOM the full-grid Hessian temporaries;
-        # evaluate in halo'd z slabs (exact on interior rows)
-        from .ops.vesselness import frangi_vesselness_chunked
-        v = frangi_vesselness_chunked(
-            raw_d, sigmas=tuple(cfg.sigmas),
-            alpha=cfg.alpha, beta=cfg.beta, gamma=cfg.gamma,
-            bright=cfg.bright, donate_input=True)
-        del raw_d  # buffer freed inside (HBM headroom at Speck scale)
-    else:
-        v = frangi_vesselness(
-            raw_d,
-            sigmas=tuple(cfg.sigmas),
-            alpha=cfg.alpha, beta=cfg.beta, gamma=cfg.gamma,
-            bright=cfg.bright)
+    # raw MRA is ~12-bit, so the default wire format is packed 12-bit
+    # fixed point (1.5 B/voxel), dequantized on device
+    bits = {"u8": 8, "u12": 12, "f16": 16}[cfg.upload_format]
+    v, t_up, t_comp = frangi_vesselness_streamed(
+        raw_volume, sigmas=tuple(cfg.sigmas),
+        alpha=cfg.alpha, beta=cfg.beta, gamma=cfg.gamma,
+        bright=cfg.bright, bits=bits)
+    if timings is not None:
+        timings.add("vesselness_upload", t_up)
+        timings.add("vesselness_compute", t_comp)
     if store is not None:
         store.save_nifti("vesselnessFiltered.nii.gz", np.asarray(v),
                          affine=affine, astype=np.float32)
@@ -194,18 +196,18 @@ def generate_vessel_mask(vesselness, brain_mask=None,
         # noise; component selection is one native seeded flood fill
         if brain_mask is not None:
             brain = jnp.asarray(np.asarray(brain_mask))
-            both = _threshold_hysteresis_brain(
+            weak_d, strong_ds = _threshold_hysteresis_brain(
                 v, brain, cfg.weak_threshold_fraction,
                 cfg.global_threshold_fraction, cfg.near_boundary_fraction,
                 int(cfg.boundary_distance_voxels), margin)
         else:
-            both = _threshold_hysteresis(
+            weak_d, strong_ds = _threshold_hysteresis(
                 v, cfg.weak_threshold_fraction,
                 cfg.global_threshold_fraction, margin)
-        from .ops.native import hysteresis_components_native
-        both_h = mask_to_host(both)
-        mask = hysteresis_components_native(
-            both_h[0], both_h[1], min_size=cfg.min_component_size)
+        from .ops.native import hysteresis_components_ds2_native
+        mask = hysteresis_components_ds2_native(
+            mask_to_host(weak_d), mask_to_host(strong_ds),
+            min_size=cfg.min_component_size)
     else:
         if brain_mask is not None:
             brain = jnp.asarray(np.asarray(brain_mask))
@@ -443,7 +445,7 @@ def run_pipeline(vesselness=None, brain_mask=None, seed_mask=None,
             raise ValueError("provide raw_volume or vesselness")
         t0 = time.perf_counter()
         vesselness = vesselness_stage(raw_volume, config, store=store,
-                                      affine=affine)
+                                      affine=affine, timings=timings)
         timings.add("vesselness", time.perf_counter() - t0)
 
     t0 = time.perf_counter()

@@ -380,4 +380,82 @@ long hysteresis_components_26(uint8_t* weak, const uint8_t* strong,
     return kept;
 }
 
+// Same selection from a 2x-downsampled (any-pooled) strong mask: every
+// voxel pair inside a 2x2x2 block is 26-adjacent, so any weak voxel in
+// a block that contained a strong voxel lies in the strong voxel's
+// component — seeding from it selects exactly the same components while
+// the strong mask crosses the wire at 1/8 the bits.
+long hysteresis_components_ds2_26(uint8_t* weak, const uint8_t* strong_ds,
+                                  int nz, int ny, int nx, long min_size) {
+    const long plane = static_cast<long>(ny) * nx;
+    const long total = static_cast<long>(nz) * plane;
+    const int dz = (nz + 1) / 2, dy = (ny + 1) / 2, dx = (nx + 1) / 2;
+    std::vector<long> stack;
+    std::vector<long> member;
+    stack.reserve(1 << 16);
+    member.reserve(1 << 16);
+    long kept = 0;
+    for (int cz = 0; cz < dz; ++cz)
+        for (int cy = 0; cy < dy; ++cy)
+            for (int cx = 0; cx < dx; ++cx) {
+                if (!strong_ds[(static_cast<long>(cz) * dy + cy) * dx + cx])
+                    continue;
+                // seed every unvisited weak voxel in the 2x2x2 block
+                // (they are all in the seed's component)
+                for (int oz = 0; oz < 2; ++oz) {
+                    int z0 = 2 * cz + oz;
+                    if (z0 >= nz) continue;
+                    for (int oy = 0; oy < 2; ++oy) {
+                        int y0 = 2 * cy + oy;
+                        if (y0 >= ny) continue;
+                        for (int ox = 0; ox < 2; ++ox) {
+                            int x0 = 2 * cx + ox;
+                            if (x0 >= nx) continue;
+                            long start =
+                                (static_cast<long>(z0) * ny + y0) * nx + x0;
+                            if (weak[start] != 1) continue;
+                            member.clear();
+                            weak[start] = 2;
+                            stack.push_back(start);
+                            member.push_back(start);
+                            while (!stack.empty()) {
+                                long cur = stack.back();
+                                stack.pop_back();
+                                int zc = static_cast<int>(cur / plane);
+                                int yc = static_cast<int>((cur % plane) / nx);
+                                int xc = static_cast<int>(cur % nx);
+                                for (int ddz = -1; ddz <= 1; ++ddz) {
+                                    int z2 = zc + ddz;
+                                    if (z2 < 0 || z2 >= nz) continue;
+                                    for (int ddy = -1; ddy <= 1; ++ddy) {
+                                        int y2 = yc + ddy;
+                                        if (y2 < 0 || y2 >= ny) continue;
+                                        for (int ddx = -1; ddx <= 1; ++ddx) {
+                                            int x2 = xc + ddx;
+                                            if (x2 < 0 || x2 >= nx) continue;
+                                            long q = (static_cast<long>(z2)
+                                                      * ny + y2) * nx + x2;
+                                            if (weak[q] == 1) {
+                                                weak[q] = 2;
+                                                stack.push_back(q);
+                                                member.push_back(q);
+                                            }
+                                        }
+                                    }
+                                }
+                            }
+                            if (static_cast<long>(member.size())
+                                <= min_size) {
+                                for (long q : member) weak[q] = 0;
+                            } else {
+                                ++kept;
+                            }
+                        }
+                    }
+                }
+            }
+    for (long i = 0; i < total; ++i) weak[i] = (weak[i] == 2) ? 1 : 0;
+    return kept;
+}
+
 }  // extern "C"

@@ -166,3 +166,23 @@ def test_hysteresis_no_strong_clears_everything():
     strong = np.zeros_like(weak)
     out = hysteresis_components_native(weak, strong)
     assert out.sum() == 0
+
+
+def test_hysteresis_ds2_matches_full_res():
+    """2x-pooled strong seeds select exactly the same components."""
+    from arterynetwork_tpu.ops.native import (
+        hysteresis_components_ds2_native, hysteresis_components_native)
+
+    rng = np.random.default_rng(7)
+    weak = rng.random((21, 22, 23)) < 0.15
+    strong = weak & (rng.random(weak.shape) < 0.08)
+    full = hysteresis_components_native(weak.copy(), strong, min_size=2)
+
+    z, y, x = weak.shape
+    pad = np.zeros(((z + 1) // 2 * 2, (y + 1) // 2 * 2, (x + 1) // 2 * 2),
+                   bool)
+    pad[:z, :y, :x] = strong
+    sds = pad.reshape(pad.shape[0] // 2, 2, pad.shape[1] // 2, 2,
+                      pad.shape[2] // 2, 2).any(axis=(1, 3, 5))
+    ds = hysteresis_components_ds2_native(weak.copy(), sds, min_size=2)
+    np.testing.assert_array_equal(full, ds)

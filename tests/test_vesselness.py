@@ -110,3 +110,29 @@ def test_chunked_donate_input():
                                                donate_input=True))
     np.testing.assert_allclose(out, ref, atol=1e-6)
     assert dvol.is_deleted()
+
+
+def test_streamed_matches_chunked_on_quantized_field():
+    """frangi_vesselness_streamed == frangi_vesselness_chunked on the
+    same dequantized volume (the streamed path only changes how bytes
+    reach the device)."""
+    import jax.numpy as jnp
+
+    from arterynetwork_tpu.ops.vesselness import (
+        frangi_vesselness_chunked, frangi_vesselness_streamed)
+
+    rng = np.random.default_rng(3)
+    raw = rng.normal(100.0, 5.0, (40, 48, 52)).astype(np.float32)
+    raw[18:22, 20:24, :] += 60.0
+
+    v_str, t_up, t_comp = frangi_vesselness_streamed(
+        raw, sigmas=(1.0, 2.0), chunk_z=16, bits=8)
+    assert t_up > 0 and t_comp > 0
+
+    # same u8 quantization, device chunked path
+    mn, mx = float(raw.min()), float(raw.max())
+    q = np.round((raw - mn) * (255.0 / (mx - mn))).astype(np.uint8)
+    deq = jnp.asarray(q).astype(jnp.float32) * ((mx - mn) / 255.0) + mn
+    v_chk = frangi_vesselness_chunked(deq, sigmas=(1.0, 2.0), chunk_z=16)
+    np.testing.assert_allclose(np.asarray(v_str), np.asarray(v_chk),
+                               atol=1e-5)
