@@ -109,3 +109,60 @@ def test_sharded_edt_matches_single_device():
     sh = NamedSharding(mesh, P("sx", "sy", None))
     out = np.asarray(edt(jax.device_put(jnp.asarray(mask), sh), band=8))
     np.testing.assert_allclose(out, single, atol=1e-5)
+
+
+def test_sharded_thinning_matches_single_device():
+    """Subfield thinning jitted over a sharded volume peels the identical
+    skeleton (GSPMD inserts the halo collectives; the 8-subfield parity
+    decomposition is defined in global coordinates so the parallel-
+    deletion guarantee is sharding-independent)."""
+    from arterynetwork_tpu.ops.thinning import skeletonize
+
+    vol = np.zeros((48, 48, 32), bool)
+    z, y = np.mgrid[:48, :48]
+    vol[(z - 20) ** 2 + (y - 20) ** 2 <= 12] = True
+    vol[:, 22:26, 10:14] = True
+
+    single = np.asarray(skeletonize(jnp.asarray(vol), max_waves=24))
+    mesh = make_volume_mesh()
+    sh = NamedSharding(mesh, P("sx", "sy", None))
+    out = np.asarray(skeletonize(jax.device_put(jnp.asarray(vol), sh),
+                                 max_waves=24))
+    np.testing.assert_array_equal(out, single)
+
+
+def test_mini_pipeline_sharded_end_to_end():
+    """Composed sharded pipeline (vesselness -> seeds -> region grow ->
+    thinning -> host graph -> dp-batched solves): device artifacts match
+    the single-device composition exactly, and the timestep batch solves
+    on the dp mesh."""
+    from arterynetwork_tpu.ops.region_grow import region_grow
+    from arterynetwork_tpu.ops.thinning import skeletonize
+    from arterynetwork_tpu.ops.vesselness import frangi_vesselness
+    from arterynetwork_tpu.parallel.pipeline_sharded import (
+        mini_pipeline_sharded)
+
+    rng = np.random.default_rng(5)
+    raw = rng.normal(100.0, 3.0, (48, 48, 32)).astype(np.float32)
+    z, y = np.mgrid[:48, :48]
+    raw[((z - 16) ** 2 + (y - 16) ** 2 <= 9)] += 80.0   # straight tube
+    raw[((z - 32) ** 2 + (y - 30) ** 2 <= 4)] += 80.0   # thinner tube
+
+    out = mini_pipeline_sharded(raw, sigmas=(1.5,), max_waves=12,
+                                region_grow_iters=40)
+
+    # single-device reference composition
+    v1 = frangi_vesselness(jnp.asarray(raw), sigmas=(1.5,))
+    vmin, vmax = float(jnp.min(v1)), float(jnp.max(v1))
+    seeds = np.asarray(v1) > vmin + 0.5 * (vmax - vmin)
+    grown = region_grow(v1, jnp.asarray(seeds), max_segment_size=10 ** 7,
+                        iter_max=40)
+    mask1 = np.asarray(grown.segmented_map) != 0
+    skel1 = np.asarray(skeletonize(jnp.asarray(mask1), max_waves=12))
+
+    np.testing.assert_array_equal(out["mask"], mask1)
+    np.testing.assert_array_equal(out["skeleton"], skel1)
+    assert out["segments"], "no segments extracted"
+    if out["pressure_batch"] is not None:
+        assert out["pressure_batch"].shape[0] == 8
+        assert np.isfinite(out["pressure_batch"]).all()
