@@ -83,7 +83,8 @@ def residual_reference(x: jax.Array, system: FlowSystem, error_norm: int = 0):
     return jnp.linalg.norm(eqns, ord=error_norm)
 
 
-def validate_equations(x, system: FlowSystem) -> Dict[str, np.ndarray]:
+def validate_equations(x, system: FlowSystem,
+                       signed_velocity=None) -> Dict[str, np.ndarray]:
     """Physical residual audit (validateFluidEquations parity).
 
     Returns a dict with per-equation true errors and summary statistics:
@@ -91,6 +92,14 @@ def validate_equations(x, system: FlowSystem) -> Dict[str, np.ndarray]:
       * ``flow_error_cm3s``: |Q_in - Q_out| per conservation node, cm^3/s
       * ``n_pressure_inversions``: edges where head pressure <= tail pressure
       * summary mean/std/min/max for both error families.
+
+    CAVEAT (surfaced as ``flow_audit_note``): the reference packs
+    nonnegative velocities (bounds v in [0, 5] m/s with direction
+    encoded by edge orientation), so this audit takes |v| and an edge
+    whose flow physically reverses shows up as conservation "error"
+    even in an exactly-converged solution.  Pass the solver's
+    ``signed_velocity`` to additionally get ``flow_error_signed_cm3s``
+    (the physical conservation residual) and ``n_reversed_edges``.
     """
     x = jnp.asarray(x)
     velocity, p_full = _split_unknowns(x, system)
@@ -115,14 +124,27 @@ def validate_equations(x, system: FlowSystem) -> Dict[str, np.ndarray]:
     # (fluidSimulation.py:1157, 1181, 1191-1192).
     total = np.concatenate([pressure_error * 500.0, flow_error * 20000.0])
 
-    return {
+    out = {
         "pressure_error_mmhg": pressure_error,
         "flow_error_cm3s": flow_error,
         "n_pressure_inversions": inversions,
         "pressure_summary": _summary(pressure_error),
         "flow_summary": _summary(flow_error),
         "combined_magnified_error": float(np.linalg.norm(total)),
+        "flow_audit_note": (
+            "flow_error_cm3s uses |v| (the reference's packing); edges "
+            "whose flow physically reverses appear as conservation error "
+            "here — flow_error_signed_cm3s is the physical residual"),
     }
+    if signed_velocity is not None:
+        sv = jnp.asarray(signed_velocity)
+        flow_s = flow_from_velocity(sv, system.radius_m)
+        net_s = _node_net_flow(flow_s, system)
+        err_s = np.asarray(jnp.abs(net_s[system.conserve_nodes])) * 1e6
+        out["flow_error_signed_cm3s"] = err_s
+        out["flow_signed_summary"] = _summary(err_s)
+        out["n_reversed_edges"] = int(np.sum(np.asarray(sv) < 0))
+    return out
 
 
 def pack_velocity_pressure(system: FlowSystem, p_full, velocity) -> np.ndarray:

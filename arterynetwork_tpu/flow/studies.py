@@ -184,7 +184,8 @@ def _solve_with_tp(net_t: FlowNetwork, boundary_pressure, dtype,
                                 linear_solver=linear_solver)
     x = pack_velocity_pressure(system, np.asarray(sol.pressure),
                                np.abs(np.asarray(sol.velocity)))
-    report = validate_equations(x, system)
+    report = validate_equations(x, system,
+                                signed_velocity=np.asarray(sol.velocity))
     return system, sol, x, report
 
 

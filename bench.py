@@ -96,77 +96,13 @@ def bench_flow_large():
 
 def _reference_protocol_solve(net, gt):
     """Reference-style solve: scipy least_squares over a Python-interpreted
-    equation list (the reference's computeNetworkDetail evaluation model)."""
-    from scipy.optimize import least_squares
+    equation list (the reference's computeNetworkDetail evaluation model;
+    shared oracle in utils/reference_protocol.py)."""
+    from arterynetwork_tpu.utils.reference_protocol import (
+        reference_protocol_solve)
 
-    from arterynetwork_tpu.constants import (
-        FLOW_ERROR_FACTOR, PRESSURE_ERROR_FACTOR)
-
-    radius_m = net.radius_m()
-    length_m = net.length_m()
-    idx = net.args_index()
-    node_args = idx["node_args"]
-    E = net.num_edges
-    deg = net.degree
-    entry_mask = net.is_entry_node()
-    fixed = (deg == 1) | entry_mask
-
-    # Build the equation dict list exactly the way the reference stores it.
-    eqns = []
-    in_edges = [[] for _ in range(net.num_nodes)]
-    out_edges = [[] for _ in range(net.num_nodes)]
-    for e in range(E):
-        out_edges[net.heads[e]].append(e)
-        in_edges[net.tails[e]].append(e)
-    for n in range(net.num_nodes):
-        if fixed[n] or not in_edges[n] or not out_edges[n]:
-            continue
-        eqns.append({"type": "flow",
-                     "in": [(node_args[n], e) for e in in_edges[n]],
-                     "vin": [e for e in in_edges[n]],
-                     "vout": [e for e in out_edges[n]],
-                     "rin": [radius_m[e] for e in in_edges[n]],
-                     "rout": [radius_m[e] for e in out_edges[n]]})
-    for e in range(E):
-        h, t = net.heads[e], net.tails[e]
-        eqns.append({
-            "type": "pressure", "r": radius_m[e], "L": length_m[e],
-            "c": net.c[e], "k": net.k[e], "v": e,
-            "hp": gt.pressure[h] if fixed[h] else None,
-            "hi": int(node_args[h]) if not fixed[h] else None,
-            "tp": gt.pressure[t] if fixed[t] else None,
-            "ti": int(node_args[t]) if not fixed[t] else None,
-        })
-
-    def objective(x):
-        out = []
-        for q in eqns:
-            if q["type"] == "flow":
-                qin = sum(abs(x[e]) * np.pi * r ** 2
-                          for e, r in zip(q["vin"], q["rin"]))
-                qout = sum(abs(x[e]) * np.pi * r ** 2
-                           for e, r in zip(q["vout"], q["rout"]))
-                out.append(abs(qin - qout) * FLOW_ERROR_FACTOR)
-        for q in eqns:
-            if q["type"] == "pressure":
-                v = abs(x[q["v"]])
-                hp = q["hp"] if q["hp"] is not None else x[q["hi"]]
-                tp = q["tp"] if q["tp"] is not None else x[q["ti"]]
-                dpn = hp - tp
-                dph = (10.67 * (v * np.pi * q["r"] ** 2) ** q["k"] * q["L"]
-                       / q["c"] ** q["k"] / (2 * q["r"]) ** 4.8704)
-                e = (abs(dpn - dph) * 2 if dpn > 0
-                     else 10 * abs(tp + dph - hp))
-                out.append(e * PRESSURE_ERROR_FACTOR)
-        return np.asarray(out)
-
-    M = idx["num_unknowns"] - E
-    p_in = gt.pressure[0]
-    x0 = np.hstack([np.full(E, 0.4), np.linspace(p_in * 0.8, p_in * 0.5, M)])
-    t0 = time.perf_counter()
-    res = least_squares(objective, x0, method="trf", xtol=1e-12, ftol=1e-12)
-    t = time.perf_counter() - t0
-    return t, res
+    out = reference_protocol_solve(net, gt.pressure)
+    return out["elapsed_s"], out["scipy_result"]
 
 
 def bench_config1_speedup():

@@ -173,3 +173,66 @@ def test_flow_proportions(net):
         net, gt.flow[:, None], partitions=PARTS)
     total = sum(v[0] for v in props.values())
     assert np.isclose(total, 1.0)
+
+
+# ---------------------------------------------------------------------------
+# Reference-protocol cross-checks (round-3): the Newton study solves must
+# agree with an INDEPENDENT solve of the same system under the
+# reference's own evaluation model (equation-dict objective + scipy
+# least_squares, utils/reference_protocol.py) to ~1e-3 relative — the
+# reference's own acceptance (fluidSimulation.py:2684 comparison).
+# ---------------------------------------------------------------------------
+
+
+def _cross_check(net_t, bp, ours_pressure, ours_velocity):
+    """Our Newton solution must be a fixed point of the reference
+    protocol: near-zero reference-objective cost (orders of magnitude
+    below the objective at the reference's own init) and no drift when
+    the reference's optimizer is started at it.  (A cold-started
+    least_squares stalls at cost ~1e7 from the reference init on these
+    configs — the very reason the reference needs basinhopping — so
+    agreement is asserted at the solution, not between two solver
+    runs.)"""
+    from arterynetwork_tpu.utils.reference_protocol import (
+        cross_check_solution)
+
+    chk = cross_check_solution(net_t, bp, ours_pressure, ours_velocity)
+    assert chk["cost_at_solution"] < 1e-6 * chk["cost_at_reference_init"], chk
+    assert chk["warm_pressure_drift_rel"] < 1e-3, chk
+
+
+def test_tp_fit_study_matches_reference_protocol():
+    """One timestep of tp_fit_solve_study scored under the reference
+    protocol (equation-dict objective): exact fit, no optimizer drift."""
+    rng = np.random.default_rng(1)
+    small = set_network_properties(generate_tree(max_depth=5, rng=rng),
+                                   k_value=1.852, rng=rng)
+    out = tp_fit_solve_study(small, small.radius * 0.9, num_timesteps=2,
+                             partitions=PARTS)
+    assert out["success"]
+    row = out["timesteps"][0]
+    fixed = (small.degree == 1) | small.is_entry_node()
+    bp = np.where(fixed, row["pressure"], 0.0)
+    E = small.num_edges
+    _cross_check(small, bp, row["pressure"], row["velocityPressure"][:E])
+    # signed-flow audit is clean even where the |v|-audit is not
+    rep = row["validation"]
+    assert "flow_audit_note" in rep
+    assert rep["flow_signed_summary"]["max"] < 1e-6
+    assert rep["n_reversed_edges"] >= 0
+
+
+def test_gbm_test4_matches_reference_protocol():
+    rng = np.random.default_rng(2)
+    small = set_network_properties(generate_tree(max_depth=5, rng=rng),
+                                   k_value=1.852, rng=rng)
+    out = gbm_test4(small, partitions=PARTS,
+                    partition_to_perturb=("LMCA",))
+    assert out["success"]
+    fixed = (small.degree == 1) | small.is_entry_node()
+    bp = np.where(fixed, out["pressure"], 0.0)
+    net_t = small.replace(radius=out["perturbed_radius"])
+    from arterynetwork_tpu.flow.adan import set_network_ck
+    net_t = set_network_ck(net_t)
+    E = small.num_edges
+    _cross_check(net_t, bp, out["pressure"], out["velocityPressure"][:E])
