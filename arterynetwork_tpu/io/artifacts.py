@@ -110,3 +110,42 @@ class ArtifactStore:
         arr = np.asarray(compute())
         np.savez_compressed(p, arr=arr)
         return arr
+
+
+def load_basic_files(store_or_dir):
+    """One-call loader for the morphology analysis bundle
+    (``loadBasicFiles`` parity, graphRelated.py:433-515): the cleaned
+    voxel graph, segment list, per-segment/per-node info dicts, and the
+    partition files, under the reference's file names.
+
+    ``resultADANDict`` is optional (the reference warns and returns {}
+    when its ADAN pickle is absent); every other file is required.
+    Accepts an ArtifactStore or a directory path.
+    """
+    store = (store_or_dir if isinstance(store_or_dir, ArtifactStore)
+             else ArtifactStore(str(store_or_dir)))
+    required = {
+        "segmentInfoDict": "segmentInfoDict.pkl",
+        "nodeInfoDict": "nodeInfoDict.pkl",
+        "chosenVoxels": "chosenVoxelsForPartition.pkl",
+        "partitionInfo": "partitionInfo.pkl",
+    }
+    for key, name in required.items():
+        if not store.exists(name):
+            raise FileNotFoundError(store.path(name))
+    if not store.exists("graphRepresentationCleanedWithAdvancedInfo"
+                        ".graphml"):
+        raise FileNotFoundError(store.path(
+            "graphRepresentationCleanedWithAdvancedInfo.graphml"))
+    if not store.exists("segmentListCleaned.npz"):
+        raise FileNotFoundError(store.path("segmentListCleaned.npz"))
+    result = {key: store.load_pickle(name)
+              for key, name in required.items()}
+    result["G"] = store.load_graphml(
+        "graphRepresentationCleanedWithAdvancedInfo.graphml")
+    result["segmentList"] = store.load_segment_list(
+        "segmentListCleaned.npz")
+    result["resultADANDict"] = (store.load_pickle("resultADANDict.pkl")
+                                if store.exists("resultADANDict.pkl")
+                                else {})
+    return result

@@ -461,3 +461,83 @@ def show_result_gbm_test5(store, net, num_timesteps: int = 5,
     return {"terminating_nodes": terminating,
             "terminating_pressures_mmhg": tp,
             "flow": flows, "figures": figs}
+
+
+def _draw_reduced_graph(ax, DG, node_values, edge_values, nnorm, enorm,
+                        ncmap, ecmap, title):
+    """Draw one compartment's reduced graph using voxel-coordinate
+    projection (the headless analog of the reference's graphviz layout)."""
+    for (a, b), val in zip(DG.edges(), edge_values):
+        ax.plot([a[2], b[2]], [a[1], b[1]], "-",
+                color=ecmap(enorm(val)), lw=1.8, zorder=1)
+    xs = [n[2] for n in DG.nodes()]
+    ys = [n[1] for n in DG.nodes()]
+    ax.scatter(xs, ys, c=[ncmap(nnorm(v)) for v in node_values],
+               s=28, zorder=2)
+    ax.set_title(title, fontsize=9)
+    ax.set_aspect("equal")
+    ax.invert_yaxis()
+    ax.set_axis_off()
+
+
+def graph_plot_per_partition(G, segment_list, segment_info, node_info,
+                             partition_info, spacing_mm: float = 0.4,
+                             shared_colorbar: bool = False,
+                             dataset_name: str = "GBM", path=None):
+    """Per-compartment reduced-graph plots: nodes colored by Murray's-law
+    ratio (``cubicLawResult``), edges by radius in mm.
+
+    ``shared_colorbar=False`` gives each compartment its own figure panel
+    with independent scales (``graphPlotPerPartition``,
+    graphRelated.py:1635-1670); ``True`` normalizes node and edge colors
+    across all compartments and attaches one shared pair of colorbars
+    (``graphPlotPerPartition2``, :1672-1718).
+    """
+    import matplotlib.pyplot as plt
+
+    from ..graphs.traversal import reduce_graph
+
+    names = list(partition_info.keys())
+    per_part = []
+    for name in names:
+        info = partition_info[name]
+        seg_ids = info.get("segment_index_list",
+                           info.get("segmentIndexList", []))
+        DG = reduce_graph(G, segment_list, seg_ids)
+        nv = [node_info.get(n, {}).get("cubicLawResult", 0) or 0
+              for n in DG.nodes()]
+        ev = [segment_info[DG[a][b]["segmentIndex"]]["meanRadius"]
+              * spacing_mm for a, b in DG.edges()]
+        per_part.append((name, DG, nv, ev))
+
+    all_nv = [v for _, _, nv, _ in per_part for v in nv] or [0.0]
+    all_ev = [v for _, _, _, ev in per_part for v in ev] or [0.0]
+    ncmap = plt.get_cmap("jet")
+    ecmap = plt.get_cmap("jet")
+
+    fig, axes = plt.subplots(1, len(per_part),
+                             figsize=(3.2 * len(per_part), 3.6))
+    axes = np.atleast_1d(axes)
+    for ax, (name, DG, nv, ev) in zip(axes, per_part):
+        if shared_colorbar:
+            nnorm = plt.Normalize(min(all_nv), max(all_nv) or 1)
+            enorm = plt.Normalize(min(all_ev), max(all_ev) or 1)
+        else:
+            nnorm = plt.Normalize(min(nv, default=0), max(nv, default=1)
+                                  or 1)
+            enorm = plt.Normalize(min(ev, default=0), max(ev, default=1)
+                                  or 1)
+        _draw_reduced_graph(ax, DG, nv, ev, nnorm, enorm, ncmap, ecmap,
+                            "{}, {}".format(name, dataset_name))
+    if shared_colorbar:
+        nnorm = plt.Normalize(min(all_nv), max(all_nv) or 1)
+        enorm = plt.Normalize(min(all_ev), max(all_ev) or 1)
+        sm_n = plt.cm.ScalarMappable(norm=nnorm, cmap=ncmap)
+        sm_e = plt.cm.ScalarMappable(norm=enorm, cmap=ecmap)
+        cbn = fig.colorbar(sm_n, ax=axes.tolist(), fraction=0.03,
+                           pad=0.02)
+        cbn.set_label("Murray's law ratio")
+        cbe = fig.colorbar(sm_e, ax=axes.tolist(), fraction=0.03,
+                           pad=0.06)
+        cbe.set_label("Radius (mm)")
+    return _save(fig, path)

@@ -178,3 +178,59 @@ def test_show_result_gbm_test5(tmp_path):
         assert os.path.exists(f) and os.path.getsize(f) > 1000
     for o in (1, 2):
         assert os.path.getsize(str(tmp_path / f"gbm5_tp_option{o}.png")) > 1000
+
+
+def test_graph_plot_per_partition_variants(tmp_path):
+    """graphPlotPerPartition / graphPlotPerPartition2 parity drivers
+    (graphRelated.py:1635-1718): per-compartment reduced-graph plots
+    colored by Murray's-law ratio (nodes) and radius (edges), the second
+    variant with one shared colorbar pair."""
+    from arterynetwork_tpu.viz import graph_plot_per_partition
+
+    G, segments, partition_info, node_info, seg_info = \
+        _partitioned_voxel_net()
+    p1 = str(tmp_path / "per_part.png")
+    fig1_ = graph_plot_per_partition(G, segments, seg_info, node_info,
+                                     partition_info, path=p1)
+    assert os.path.getsize(p1) > 1000
+    assert len(fig1_.axes) == len(partition_info)
+
+    p2 = str(tmp_path / "per_part_shared.png")
+    fig2_ = graph_plot_per_partition(G, segments, seg_info, node_info,
+                                     partition_info, shared_colorbar=True,
+                                     path=p2)
+    assert os.path.getsize(p2) > 1000
+    # panels + 2 shared colorbars
+    assert len(fig2_.axes) == len(partition_info) + 2
+
+
+def test_load_basic_files_bundle(tmp_path):
+    """load_basic_files (graphRelated.py:433-515): one call returns the
+    full morphology bundle under the reference's file names."""
+    import pytest as _pytest
+
+    from arterynetwork_tpu.graphs.partitioning import save_partition
+    from arterynetwork_tpu.io.artifacts import ArtifactStore, \
+        load_basic_files
+
+    G, segments, partition_info, node_info, seg_info = \
+        _partitioned_voxel_net()
+    store = ArtifactStore(str(tmp_path))
+    with _pytest.raises(FileNotFoundError):
+        load_basic_files(store)
+
+    chosen = {"LMCA": {"initial_voxels": [(10, 21, 13)]},
+              "RMCA": {"initial_voxels": [(10, 19, 13)]}}
+    save_partition(store, chosen, partition_info, G)
+    store.save_segment_list("segmentListCleaned.npz", segments)
+    store.save_pickle("segmentInfoDict.pkl", seg_info)
+    store.save_pickle("nodeInfoDict.pkl", node_info)
+
+    out = load_basic_files(store)
+    assert set(out) == {"G", "segmentList", "segmentInfoDict",
+                        "nodeInfoDict", "chosenVoxels", "partitionInfo",
+                        "resultADANDict"}
+    assert out["resultADANDict"] == {}
+    assert len(out["segmentList"]) == len(segments)
+    assert out["G"].number_of_nodes() == G.number_of_nodes()
+    assert "LMCA" in out["partitionInfo"]
