@@ -308,9 +308,12 @@ def _apply_chunk_sm(best, smf, start, g, sigma, alpha, beta, bright,
 
     Interior rows are >= halo >= 2 away from the slab edges, so the
     edge-replicate difference matrices never touch them; the slab's halo
-    rows come from neighboring chunks' exact interiors (or the zero
-    padding at the volume faces, matching the zero-padded tail the
-    direct path sees there)."""
+    rows come from neighboring chunks' exact interiors.  At the volume
+    faces the halo rows of the cached smoothed field are exact zeros,
+    whereas the direct chunked path (_apply_chunk / explicit gamma)
+    smooths the zero padding into a nonzero tail — the two chunked paths
+    therefore differ slightly on the outermost z rows (within the
+    documented ~0.013 face-row tolerance; interior parity unaffected)."""
     sm = jax.lax.dynamic_slice_in_dim(smf, start, chunk_z + 2 * halo,
                                       axis=0)
     hs = _hessian_from_smoothed(sm, sigma)

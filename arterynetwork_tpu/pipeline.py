@@ -42,7 +42,14 @@ _SCRATCH: Dict = {}
 
 def _edt_scratch(shape):
     """Reusable float32 volume buffer (pipeline-internal; see the
-    first-touch note at its call site)."""
+    first-touch note at its call site).
+
+    ALIASING: the native fast path's distance transform lives in this
+    buffer (sqrt'd in place), so ``run_pipeline``/``graph_stage`` are
+    non-reentrant with respect to it — a second run with the same box
+    shape overwrites any dt reference a caller kept from the first run.
+    The buffer is not part of the returned result dict; callers that
+    need to retain the transform must copy it."""
     arr = _SCRATCH.get("edt")
     if arr is None or arr.shape != tuple(shape):
         arr = np.empty(shape, np.float32)

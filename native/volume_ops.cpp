@@ -303,7 +303,11 @@ long drop_small_components_26(uint8_t* mask, int nz, int ny, int nx,
     const long total = static_cast<long>(nz) * ny * nx;
     // static scratch: a fresh 4*total allocation would be mmap'd and
     // first-touched on every call (~seconds at MRA scale on this VM);
-    // reusing keeps the pages heap-resident across pipeline runs
+    // reusing keeps the pages heap-resident across pipeline runs.
+    // NOT thread-safe (unlike the OpenMP kernels above, this function
+    // must not be called concurrently), and the scratch pins
+    // 4 B/voxel of the largest volume seen for process lifetime —
+    // both deliberate for the single-threaded pipeline.
     static std::vector<int32_t> labels;
     labels.assign(total, 0);
     long k = label_components_26(mask, nz, ny, nx, labels.data());
