@@ -82,9 +82,6 @@ def _quantize(data, num_bins):
     return idx, values
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("num_bins", "iter_max", "max_segment_size"))
 def region_grow(
     data,
     seed_mask,
@@ -93,6 +90,7 @@ def region_grow(
     max_segment_size: int = DEFAULT_MAX_SEGMENT_SIZE,
     iter_max: int = DEFAULT_ITER_MAX,
     num_bins: int = 256,
+    backend: str = "auto",
 ) -> RegionGrowResult:
     """Grow a region from ``seed_mask`` over ``data``.
 
@@ -100,7 +98,44 @@ def region_grow(
     (larger H -> smaller segmentation), ``max_segment_size`` and
     ``iter_max`` cap the growth (variationalRegionGrowing.py:10, 56).
     ``excluded_mask`` marks reference state-4 voxels.
+
+    ``backend``: "auto" picks the fused single-pass Pallas sweep
+    (ops/region_grow_fused.py) on a single TPU device when there is no
+    excluded state; "xla" forces the full-grid XLA path (the one that
+    shards under GSPMD); "fused" forces the Pallas path.
     """
+    use_fused = (backend in ("auto", "fused")
+                 and excluded_mask is None
+                 and getattr(data, "ndim", None) == 3
+                 and num_bins == 256
+                 and jax.default_backend() == "tpu")
+    if use_fused:
+        from .region_grow_fused import fused_tile_fits
+        use_fused = fused_tile_fits(data.shape)
+    if use_fused and isinstance(data, jax.Array):
+        use_fused = len(data.devices()) == 1
+    if backend == "fused" or use_fused:
+        from .region_grow_fused import region_grow_fused
+        return region_grow_fused(data, seed_mask, H=H,
+                                 max_segment_size=max_segment_size,
+                                 iter_max=iter_max)
+    return _region_grow_xla(data, seed_mask, excluded_mask, H,
+                            max_segment_size, iter_max, num_bins)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("num_bins", "iter_max", "max_segment_size"))
+def _region_grow_xla(
+    data,
+    seed_mask,
+    excluded_mask=None,
+    H: float = DEFAULT_H,
+    max_segment_size: int = DEFAULT_MAX_SEGMENT_SIZE,
+    iter_max: int = DEFAULT_ITER_MAX,
+    num_bins: int = 256,
+) -> RegionGrowResult:
+    """Full-grid XLA implementation (shards under GSPMD)."""
     dtype = jnp.float32 if data.dtype not in (jnp.float64,) else data.dtype
     data = data.astype(dtype)
     seg0 = seed_mask.astype(jnp.bool_)

@@ -158,23 +158,35 @@ def bench_region_grow():
     import jax
     import jax.numpy as jnp
 
-    from arterynetwork_tpu.ops.region_grow import region_grow
+    from arterynetwork_tpu.ops.region_grow import (_region_grow_xla,
+                                                    region_grow)
 
     shape = (512, 512, 170)
     vol, seed = _tube_phantom(shape)
     dvol, dseed = jnp.asarray(vol), jnp.asarray(seed)
 
-    def run():
-        res = region_grow(dvol, dseed, max_segment_size=10 ** 6,
-                          iter_max=300)
+    def run(fn=region_grow):
+        res = fn(dvol, dseed, max_segment_size=10 ** 6,
+                 iter_max=300)
         it = int(jax.device_get(res.iterations))
         n = int(jax.device_get(res.segmented_count))
         return it, n
 
-    it, n = run()  # compile + converge
+    it, n = run()  # compile + converge (auto backend: fused Pallas sweep)
+    ts = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        it, n = run()
+        ts.append(time.perf_counter() - t0)
+    t = sorted(ts)[1]
+
+    # the XLA full-grid path (the GSPMD-shardable variant), for the
+    # fused-kernel speedup attribution; fixed points are identical
+    itx, nx = run(_region_grow_xla)
     t0 = time.perf_counter()
-    it, n = run()
-    t = time.perf_counter() - t0
+    itx, nx = run(_region_grow_xla)
+    t_xla = time.perf_counter() - t0
+    assert (itx, nx) == (it, n), ((itx, nx), (it, n))
 
     from arterynetwork_tpu.ops.region_grow_frontier import region_grow_frontier
 
@@ -202,6 +214,8 @@ def bench_region_grow():
         "region_grow_iters": it,
         "region_grow_segmented": n,
         "region_grow_voxel_sweeps_per_s": voxels * it / t,
+        "region_grow_xla_s": t_xla,
+        "region_grow_fused_speedup": t_xla / t,
         "region_grow_frontier_s": tf,
         "region_grow_frontier_speedup": t / tf,
     }

@@ -1,0 +1,96 @@
+"""Fused Pallas region-grow sweep: parity with the XLA full-grid path.
+
+The kernel runs in Pallas interpret mode on the CPU mesh; decision math
+(boundary, sign table, flips, histogram deltas) must match the XLA
+formulation bit-for-bit, iteration by iteration.  On real TPU hardware
+the same parity holds compiled (asserted every bench run:
+bench_region_grow compares fused vs XLA fixed points)."""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from arterynetwork_tpu.ops.histogram import (_masked_histograms_scatter,
+                                             sign_lookup)
+from arterynetwork_tpu.ops.region_grow import A_NORM, _quantize
+from arterynetwork_tpu.ops.region_grow_fused import (fused_sweep,
+                                                     fused_tile_fits,
+                                                     pack_sign_words)
+from arterynetwork_tpu.ops.stencil import dilate26
+
+_x32 = functools.partial(jax.enable_x64, False)
+
+
+def test_fused_sweep_matches_xla_iterations():
+    rng = np.random.default_rng(0)
+    Z, Y, X = 12, 16, 128
+    data = rng.normal(0.1, 0.05, (Z, Y, X)).astype(np.float32)
+    data[5:8, 6:10, 30:90] += 0.8
+    seed = np.zeros((Z, Y, X), bool)
+    seed[6, 7, 50:60] = True
+
+    with _x32():
+        dj = jnp.asarray(data)
+        bin_idx, bin_values = _quantize(dj, 256)
+        H = 2.25
+        dv = bin_values[:, None] - bin_values[None, :]
+        K = (A_NORM * jnp.exp(-0.5 * H * dv * dv)).astype(jnp.float32)
+        seg = jnp.asarray(seed)
+        ones = jnp.ones((1, Z * Y * X), bool)
+        hist_all = _masked_histograms_scatter(bin_idx.reshape(-1), ones,
+                                              256)[0]
+        for it in range(3):
+            inner = _masked_histograms_scatter(
+                bin_idx.reshape(-1), seg.reshape(1, -1), 256)[0]
+            outer = hist_all - inner
+            isz = jnp.maximum(jnp.sum(inner), 1.0)
+            osz = jnp.maximum(jnp.sum(outer), 1.0)
+            diff = (K @ inner) / isz - (K @ outer) / osz
+            bnd = dilate26(seg) & dilate26(~seg)
+            flips_ref = bnd & jnp.logical_xor(seg, sign_lookup(bin_idx,
+                                                               diff))
+            seg_ref = jnp.logical_xor(seg, flips_ref)
+
+            seg_new, hp, hn = fused_sweep(
+                seg.astype(jnp.bfloat16), bin_idx.astype(jnp.bfloat16),
+                pack_sign_words(diff), interpret=True)
+            np.testing.assert_array_equal(np.asarray(seg_new) != 0,
+                                          np.asarray(seg_ref))
+            d_ref = (_masked_histograms_scatter(
+                bin_idx.reshape(-1), (flips_ref & ~seg).reshape(1, -1),
+                256)[0]
+                - _masked_histograms_scatter(
+                    bin_idx.reshape(-1), (flips_ref & seg).reshape(1, -1),
+                    256)[0])
+            np.testing.assert_allclose(
+                np.asarray(hp - hn).reshape(256), np.asarray(d_ref))
+            seg = seg_ref
+        assert int(jnp.sum(seg)) > int(np.sum(seed))
+
+
+def test_fused_sweep_padded_lanes_never_flip():
+    """Pad voxels beyond the true extent must not enter the region."""
+    rng = np.random.default_rng(1)
+    Z, Y, X = 6, 16, 128
+    data = rng.normal(0.1, 0.02, (Z, Y, X)).astype(np.float32)
+    data[2:4, 4:12, 80:128] += 0.9       # bright region crossing the pad
+    seed = np.zeros((Z, Y, X), bool)
+    seed[3, 8, 90:98] = True             # seeds inside the valid extent
+    with _x32():
+        bin_idx, bin_values = _quantize(jnp.asarray(data), 256)
+        # a table that wants to flip EVERY boundary voxel inward
+        diff = jnp.ones((256,), jnp.float32)
+        seg_new, hp, hn = fused_sweep(
+            jnp.asarray(seed).astype(jnp.bfloat16),
+            bin_idx.astype(jnp.bfloat16),
+            pack_sign_words(diff), valid_yx=(Y, 100), interpret=True)
+        out = np.asarray(seg_new) != 0
+        assert not out[:, :, 100:].any()
+        assert out[:, :, :100].sum() >= seed[:, :, :100].sum()
+
+
+def test_fused_tile_fits_gate():
+    assert fused_tile_fits((512, 512, 170))
+    assert not fused_tile_fits((880, 880, 640))  # Speck: XLA fallback
