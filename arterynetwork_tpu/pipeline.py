@@ -103,14 +103,34 @@ def _threshold_with_brain(v, brain, global_frac, near_frac, boundary_dist,
     return keep
 
 
+@_functools.lru_cache(maxsize=None)
+def _pool2_matrix(n: int):
+    """(ceil(n/2), n) 0/1 matrix summing index pairs (2i, 2i+1)."""
+    import numpy as _np
+    m = (n + 1) // 2
+    P = _np.zeros((m, n), _np.float32)
+    P[_np.arange(n) // 2, _np.arange(n)] = 1.0
+    return P
+
+
+_POOL_EINSUM = ("iz,zyx->iyx", "iy,zyx->zix", "ix,zyx->zyi")
+
+
 def _any_pool2(m):
     """2x any-pooled mask, shape = ceil(shape / 2) (the wire format for
     hysteresis strong seeds: exact component selection at 1/8 the bits,
-    ops/native.hysteresis_components_ds2_native)."""
-    z, y, x = m.shape
-    mp = _jnp.pad(m, ((0, z % 2), (0, y % 2), (0, x % 2)))
-    return mp.reshape((z + 1) // 2, 2, (y + 1) // 2, 2,
-                      (x + 1) // 2, 2).any(axis=(1, 3, 5))
+    ops/native.hysteresis_components_ds2_native).
+
+    Pooling runs as three banded matmuls (the codebase's standard MXU
+    idiom): a (.., 2, .., 2, .., 2) reshape materializes a pathological
+    tiled layout on TPU (measured 64 B/element at Speck scale — an OOM),
+    while the matmul keeps native layouts and handles odd extents."""
+    out = m.astype(_jnp.bfloat16)  # 0/1 sums <= 2: exact in bf16
+    for axis in range(3):
+        P = _jnp.asarray(_pool2_matrix(out.shape[axis]),
+                         _jnp.bfloat16)
+        out = _jnp.einsum(_POOL_EINSUM[axis], P, out)
+    return out > 0
 
 
 @_functools.partial(_jax.jit, static_argnames=("margin",))
