@@ -110,6 +110,12 @@ def region_grow(
                  and num_bins == 256
                  and jax.default_backend() == "tpu")
     if use_fused:
+        # the banded large-tile variant is correct (interpret-mode parity
+        # tests) and compiles standalone, but inside the full driver
+        # program the remote AOT compiler SIGABRTs at some shapes and a
+        # crashed compile wedges the daemon — keep auto on the proven
+        # small-tile kernel and fall back to XLA above its budget until
+        # the compiler issue is resolved (backend="fused" opts in)
         from .region_grow_fused import fused_tile_fits
         use_fused = fused_tile_fits(data.shape)
     if use_fused and isinstance(data, jax.Array):

@@ -208,9 +208,9 @@ def pack_sign_words(table):
 
 @functools.partial(jax.jit,
                    static_argnames=("iter_max", "max_segment_size",
-                                    "perm", "pads"))
+                                    "perm", "pads", "band"))
 def _region_grow_fused_jit(data, seed_mask, H, max_segment_size,
-                           iter_max, perm, pads):
+                           iter_max, perm, pads, band=0):
     from .histogram import masked_histogram_one
     from .region_grow import A_NORM, RegionGrowResult, _quantize
 
@@ -257,8 +257,13 @@ def _region_grow_fused_jit(data, seed_mask, H, max_segment_size,
         osz = jnp.maximum(jnp.sum(outer_hist), jnp.asarray(1.0, dtype))
         diff = (K @ inner_hist) / isz - (K @ outer_hist) / osz
         words = pack_sign_words(diff)
-        seg_new, hp, hn = fused_sweep(seg_t, idx_t, words,
-                                      valid_yx=valid_yx)
+        if band:
+            seg_new, hp, hn = fused_sweep_banded(seg_t, idx_t, words,
+                                                 valid_yx=valid_yx,
+                                                 band=band)
+        else:
+            seg_new, hp, hn = fused_sweep(seg_t, idx_t, words,
+                                          valid_yx=valid_yx)
         n_pos = jnp.sum(hp).astype(jnp.int32)
         n_neg = jnp.sum(hn).astype(jnp.int32)
         converged = (n_pos + n_neg) == 0
@@ -299,21 +304,188 @@ def fused_tile_fits(shape) -> bool:
     return sub * lane * 4 <= _MAX_TILE_F32_BYTES
 
 
+_BAND = 128  # sublane band rows for the large-tile variant
+
+
 def region_grow_fused(data, seed_mask, H: float = 2.25,
                       max_segment_size: int = 5000,
                       iter_max: int = 200):
     """Full-grid region growing with the fused Pallas sweep (same fixed
-    point as the XLA path with ``excluded_mask=None``, 256 bins)."""
+    point as the XLA path with ``excluded_mask=None``, 256 bins).
+
+    Small tiles use the single-slice kernel; above the VMEM tile budget
+    (``fused_tile_fits`` False — Speck scale) the banded 2D-grid variant
+    takes over."""
     data = jnp.asarray(data)
-    # grid over the LARGEST axis; the smallest becomes sublanes and the
-    # middle becomes lanes — the tile must stay small enough that the
-    # kernel's working temporaries fit scoped VMEM (callers check
-    # ``fused_tile_fits`` first)
     axes = sorted(range(3), key=lambda a: data.shape[a])
-    perm = (axes[2], axes[0], axes[1])
-    shape_t = tuple(data.shape[p] for p in perm)
-    pads = ((-shape_t[1]) % _SUBLANE, (-shape_t[2]) % 128)
+    if fused_tile_fits(data.shape):
+        # grid over the LARGEST axis; smallest -> sublanes, middle ->
+        # lanes: the whole slice tile fits scoped VMEM
+        perm = (axes[2], axes[0], axes[1])
+        shape_t = tuple(data.shape[p] for p in perm)
+        pads = ((-shape_t[1]) % _SUBLANE, (-shape_t[2]) % 128)
+        band = 0
+    else:
+        # banded: grid over the largest axis, lane = the axis with the
+        # least 128-padding waste, sublane = the other (banded by the
+        # second grid dimension)
+        rem = axes[:2]
+        waste = [(-data.shape[a]) % 128 for a in rem]
+        lane_axis = rem[int(np.argmin(waste))]
+        sub_axis = rem[1 - int(np.argmin(waste))]
+        perm = (axes[2], sub_axis, lane_axis)
+        shape_t = tuple(data.shape[p] for p in perm)
+        band = _BAND
+        pads = ((-shape_t[1]) % band, (-shape_t[2]) % 128)
     with _x32():
         return _region_grow_fused_jit(data, jnp.asarray(seed_mask),
                                       float(H), int(max_segment_size),
-                                      int(iter_max), perm, pads)
+                                      int(iter_max), perm, pads, band)
+
+
+# ----------------------------------------------------------------------
+# Large-tile variant: 2D grid (slice, sublane band)
+#
+# Above the single-slice tile budget (fused_tile_fits False — Speck
+# scale), the sublane axis is banded by a second grid dimension.  The
+# band halo comes from 9 clamped block specs (3 z-slices x 3 bands);
+# each kernel step assembles a (band+16)-row window from the three band
+# blocks with STATIC 8-aligned slices, computes the sweep on the
+# window, and writes the interior band.  Out-of-volume rows (band
+# clamps and sublane padding) are masked per-row, which also supplies
+# the volume-face zero fill.
+# ----------------------------------------------------------------------
+
+
+def _banded_kernel(band, X, Y0, X0, Z,
+                   spp_ref, spc_ref, spn_ref,
+                   scp_ref, scc_ref, scn_ref,
+                   snp_ref, snc_ref, snn_ref,
+                   idx_ref, words_ref, out_ref, hp_ref, hn_ref,
+                   accp, accn):
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+    nz = pl.num_programs(0)
+
+    @pl.when((i == 0) & (j == 0))
+    def _():
+        accp[:] = jnp.zeros_like(accp)
+        accn[:] = jnp.zeros_like(accn)
+
+    W = band + 16
+    # global row of each window row; rows outside [0, Y0) are not part
+    # of the volume (edge-block clamps and sublane padding) — masking
+    # them doubles as the volume-face zero fill
+    row0 = j * band - 8
+    grow = jax.lax.broadcasted_iota(jnp.int32, (W, X), 0) + row0
+    row_ok = ((grow >= 0) & (grow < Y0)).astype(jnp.float32)
+    wp = jnp.where(i > 0, 1.0, 0.0).astype(jnp.float32)
+    wn = jnp.where(i < nz - 1, 1.0, 0.0).astype(jnp.float32)
+
+    def window(p_ref, c_ref, n_ref):
+        return jnp.concatenate(
+            [p_ref[0, band - 8:band, :], c_ref[0], n_ref[0, 0:8, :]],
+            axis=0).astype(jnp.float32)
+
+    sp = window(spp_ref, spc_ref, spn_ref) * row_ok * wp
+    sc = window(scp_ref, scc_ref, scn_ref) * row_ok
+    sn = window(snp_ref, snc_ref, snn_ref) * row_ok * wn
+
+    dil_s = jnp.maximum(jnp.maximum(_d9(sp), _d9(sc)), _d9(sn))
+    dil_n = jnp.maximum(
+        jnp.maximum(_d9((1.0 - sp) * row_ok * wp),
+                    _d9((1.0 - sc) * row_ok)),
+        _d9((1.0 - sn) * row_ok * wn))
+    bnd = dil_s * dil_n
+
+    # sign bit per interior voxel; halo rows are masked off below so
+    # their (zero-padded) bins are irrelevant
+    idx_i = idx_ref[0].astype(jnp.int32)          # (band, X)
+    w = idx_i >> 5
+    sel = jnp.zeros(idx_i.shape, jnp.int32)
+    for k in range(8):
+        sel = jnp.where(w == k, words_ref[k], sel)
+    bit = ((sel >> (idx_i & 31)) & 1).astype(jnp.float32)
+
+    sc_main = sc[8:8 + band, :]
+    bnd_main = bnd[8:8 + band, :] * row_ok[8:8 + band, :]
+    xor_tgt = sc_main + bit - 2 * sc_main * bit
+    flips = bnd_main * xor_tgt
+    if X0 != X:
+        vx = jax.lax.broadcasted_iota(jnp.int32, (band, X), 1) < X0
+        flips = flips * vx.astype(jnp.float32)
+
+    out_ref[0] = (sc_main + flips - 2 * sc_main * flips)         .astype(jnp.bfloat16)
+
+    n_here = jnp.sum(flips)
+
+    @pl.when(n_here > 0)
+    def _():
+        fl = flips.astype(jnp.bfloat16)
+        s0 = sc_main.astype(jnp.bfloat16)
+        hi = (idx_i >> 4)[:, None, :]
+        lo = (idx_i & 15)[:, None, :]
+        iota = jax.lax.broadcasted_iota(jnp.int32, (band, 16, X), 1)
+        oh_hi = (hi == iota).astype(jnp.bfloat16)
+        oh_lo = (lo == iota).astype(jnp.bfloat16)
+        m_pos = (fl * (jnp.bfloat16(1) - s0))[:, None, :]
+        m_neg = (fl * s0)[:, None, :]
+        pos = jax.lax.dot_general(
+            oh_hi * m_pos, oh_lo,
+            dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)
+        neg = jax.lax.dot_general(
+            oh_hi * m_neg, oh_lo,
+            dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)
+        accp[:] = accp[:] + jnp.sum(pos, axis=0)
+        accn[:] = accn[:] + jnp.sum(neg, axis=0)
+
+    @pl.when((i == nz - 1) & (j == pl.num_programs(1) - 1))
+    def _():
+        hp_ref[:] = accp[:]
+        hn_ref[:] = accn[:]
+
+
+def fused_sweep_banded(seg_t, idx_t, sign_words, valid_yx=None,
+                       band: int = 128, interpret: bool = False):
+    """Large-tile sweep: grid (Z, Y/band), same contract as
+    ``fused_sweep``.  ``seg_t`` is (Z, Yp, Xp) with Yp % band == 0.
+
+    The band halo comes from the clamped neighbor-band blocks (9 seg
+    specs); only their 8 edge rows are consumed (static 8-aligned
+    slices), and flip/histogram math runs on the interior band rows
+    only, keeping the per-step working set inside scoped VMEM."""
+    Z, Y, X = seg_t.shape
+    assert Y % band == 0 and X % 128 == 0 and band % 8 == 0, (Y, X, band)
+    Y0, X0 = valid_yx if valid_yx is not None else (Y, X)
+    nb = Y // band
+
+    def spec(di, dj):
+        def imap(i, j):
+            return (jnp.clip(i + di, 0, Z - 1),
+                    jnp.clip(j + dj, 0, nb - 1), 0)
+        return pl.BlockSpec((1, band, X), imap, memory_space=pltpu.VMEM)
+
+    def main_spec(di):
+        return spec(di, 0)
+
+    seg_specs = [spec(di, dj) for di in (-1, 0, 1) for dj in (-1, 0, 1)]
+    words2 = sign_words.reshape(8).astype(jnp.int32)
+    return pl.pallas_call(
+        functools.partial(_banded_kernel, band, X, int(Y0), int(X0), Z),
+        grid=(Z, nb),
+        in_specs=seg_specs + [main_spec(0),
+                              pl.BlockSpec(memory_space=pltpu.SMEM)],
+        out_specs=[main_spec(0),
+                   pl.BlockSpec((16, 16), lambda i, j: (0, 0),
+                                memory_space=pltpu.VMEM),
+                   pl.BlockSpec((16, 16), lambda i, j: (0, 0),
+                                memory_space=pltpu.VMEM)],
+        out_shape=[jax.ShapeDtypeStruct((Z, Y, X), jnp.bfloat16),
+                   jax.ShapeDtypeStruct((16, 16), jnp.float32),
+                   jax.ShapeDtypeStruct((16, 16), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((16, 16), jnp.float32),
+                        pltpu.VMEM((16, 16), jnp.float32)],
+        interpret=interpret,
+    )(*([seg_t] * 9), idx_t, words2)

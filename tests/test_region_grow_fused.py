@@ -94,3 +94,42 @@ def test_fused_sweep_padded_lanes_never_flip():
 def test_fused_tile_fits_gate():
     assert fused_tile_fits((512, 512, 170))
     assert not fused_tile_fits((880, 880, 640))  # Speck: XLA fallback
+
+
+def test_banded_sweep_matches_simple_sweep():
+    """Large-tile banded variant == single-slice kernel, band halos and
+    all (interpret mode; both against the same XLA-computed flip)."""
+    from arterynetwork_tpu.ops.region_grow_fused import fused_sweep_banded
+
+    rng = np.random.default_rng(3)
+    Z, Y, X = 8, 48, 128
+    data = rng.normal(0.1, 0.05, (Z, Y, X)).astype(np.float32)
+    data[3:6, 8:40, 30:90] += 0.8
+    seed = np.zeros((Z, Y, X), bool)
+    seed[4, 20, 50:60] = True
+
+    with _x32():
+        bin_idx, bin_values = _quantize(jnp.asarray(data), 256)
+        dv = bin_values[:, None] - bin_values[None, :]
+        K = (A_NORM * jnp.exp(-0.5 * 2.25 * dv * dv)).astype(jnp.float32)
+        seg = jnp.asarray(seed)
+        ones = jnp.ones((1, Z * Y * X), bool)
+        hist_all = _masked_histograms_scatter(bin_idx.reshape(-1), ones,
+                                              256)[0]
+        for it in range(2):
+            inner = _masked_histograms_scatter(
+                bin_idx.reshape(-1), seg.reshape(1, -1), 256)[0]
+            outer = hist_all - inner
+            diff = ((K @ inner) / jnp.maximum(jnp.sum(inner), 1.0)
+                    - (K @ outer) / jnp.maximum(jnp.sum(outer), 1.0))
+            words = pack_sign_words(diff)
+            s1, hp1, hn1 = fused_sweep(
+                seg.astype(jnp.bfloat16), bin_idx.astype(jnp.bfloat16),
+                words, interpret=True)
+            s2, hp2, hn2 = fused_sweep_banded(
+                seg.astype(jnp.bfloat16), bin_idx.astype(jnp.bfloat16),
+                words, band=16, interpret=True)
+            np.testing.assert_array_equal(np.asarray(s1), np.asarray(s2))
+            np.testing.assert_allclose(np.asarray(hp1), np.asarray(hp2))
+            np.testing.assert_allclose(np.asarray(hn1), np.asarray(hn2))
+            seg = jnp.asarray(np.asarray(s1) != 0)
