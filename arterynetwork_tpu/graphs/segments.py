@@ -65,7 +65,11 @@ def _sparse_argwhere(vol: np.ndarray) -> np.ndarray:
     """``np.argwhere`` for very sparse boolean volumes: scan packed bytes
     (8 voxels at a time), then unpack only the nonzero bytes — ~4x
     faster than argwhere at skeleton densities (<0.1%)."""
-    flat = np.ascontiguousarray(vol.reshape(-1), dtype=np.uint8)
+    # np.packbits accepts bool input directly: no full-volume uint8
+    # copy (a fresh 0.5 GB first-touch at Speck scale on this VM)
+    flat = vol.reshape(-1)
+    if not flat.flags["C_CONTIGUOUS"]:
+        flat = np.ascontiguousarray(flat)
     packed = np.packbits(flat)
     nb = np.flatnonzero(packed)
     if nb.size == 0:

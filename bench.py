@@ -427,6 +427,57 @@ def bench_speck_region_grow():
     }
 
 
+def bench_speck_pipeline():
+    """Optional (--speck-e2e): the full raw->flow pipeline at Speck scale
+    (880x880x640) on one chip — not part of the driver's default run
+    (cold compiles add ~10 min); the measured numbers live in CLAUDE.md
+    and PARITY.md."""
+    import gc
+
+    import jax
+
+    from arterynetwork_tpu.config import PipelineConfig
+    from arterynetwork_tpu.pipeline import run_pipeline
+    from arterynetwork_tpu.utils.fidelity import tree_recovery_metrics
+    from arterynetwork_tpu.utils.phantoms import (phantom_raw_volume,
+                                                  vascular_tree_phantom)
+
+    shape = (880, 880, 640)
+    phantom = vascular_tree_phantom(shape, n_branches=800,
+                                    root_radius=7.0, seed=0)
+    raw = phantom_raw_volume(phantom)
+    cfg = PipelineConfig()
+    cfg.vesselness.sigmas = (1.0, 2.0, 3.0)
+    cfg.vesselness.upload_format = "u8"
+    cfg.segmentation.global_threshold_fraction = 0.3
+    cfg.segmentation.weak_threshold_fraction = 0.03
+    cfg.segmentation.border_margin_voxels = 6
+    cfg.segmentation.min_component_size = 50
+    cfg.skeleton.backend = "native"
+    cfg.skeleton.prune_min_length = 4
+    cfg.flow.dtype = "float32"
+    cfg.flow.linear_solver = "auto"
+    run_pipeline(raw_volume=raw, config=cfg)  # compile
+    totals = []
+    for _ in range(2):
+        gc.collect()
+        jax.device_get(jax.numpy.zeros(()))
+        t0 = time.perf_counter()
+        result = run_pipeline(raw_volume=raw, config=cfg)
+        totals.append(time.perf_counter() - t0)
+    fid = tree_recovery_metrics(result["segments"], result["attrs"],
+                                phantom)
+    return {
+        "speck_pipeline_s": min(totals),
+        "speck_pipeline_timings": result["timings"],
+        "speck_pipeline_mask_recall": float(
+            result["mask"][phantom["mask"]].astype(bool).mean()),
+        "speck_pipeline_segments": len(result["segments"]),
+        "speck_pipeline_centerline_recall": fid["centerline_recall"],
+        "speck_pipeline_gt_branches": int(phantom["n_branches"]),
+    }
+
+
 def main():
     detail = {}
     detail.update(bench_pipeline_512())
@@ -439,6 +490,8 @@ def main():
         detail.update(bench_speck_region_grow())
     except Exception as e:  # Speck scale is memory-hungry; never fail the run
         detail["speck_error"] = str(e)[:200]
+    if "--speck-e2e" in sys.argv:
+        detail.update(bench_speck_pipeline())
 
     record = {
         "metric": "region_grow_voxel_sweeps_per_s_512",
