@@ -64,9 +64,18 @@ def load_volume(path):
 
         f.seek(vox_offset)
         raw = f.read()
+    # trailing singleton dims are common in the wild (e.g. dim0=4 with
+    # nt=1); the pipeline consumes scalar 3D volumes
+    while len(shape) > 3 and shape[-1] == 1:
+        shape = shape[:-1]
     count = int(np.prod(shape))
     volume = np.frombuffer(raw, dtype=dtype, count=count)
     volume = volume.reshape(shape, order="F").copy()
+    # some tools write scl_slope = NaN or 0 for "no scaling"
+    if np.isnan(scl_slope):
+        scl_slope = 0.0
+    if np.isnan(scl_inter):
+        scl_inter = 0.0
     if scl_slope not in (0.0, 1.0) or scl_inter != 0.0:
         slope = scl_slope if scl_slope != 0.0 else 1.0
         volume = volume * slope + scl_inter

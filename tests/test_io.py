@@ -60,3 +60,27 @@ def test_artifact_store_round_trips(tmp_path):
     a2 = store.cached_array("cache.npz", compute)
     np.testing.assert_array_equal(a1, a2)
     assert len(calls) == 1
+
+
+def test_load_volume_trailing_singleton_and_nan_slope(tmp_path):
+    """Real-world NIfTI quirks: 4D headers with nt=1 and scl_slope=NaN
+    (both common from scanner/tool exports) load as clean 3D volumes."""
+    import gzip
+    import struct
+
+    from arterynetwork_tpu.io.nifti import load_volume, save_volume
+
+    vol = np.arange(2 * 3 * 4, dtype=np.float32).reshape(2, 3, 4)
+    p = str(tmp_path / "quirks.nii.gz")
+    save_volume(vol, np.eye(4), p, astype=np.float32)
+
+    blob = bytearray(gzip.open(p, "rb").read())
+    struct.pack_into("<8h", blob, 40, 4, 2, 3, 4, 1, 1, 1, 1)  # 4D, nt=1
+    struct.pack_into("<f", blob, 112, float("nan"))            # scl_slope
+    struct.pack_into("<f", blob, 116, float("nan"))            # scl_inter
+    with gzip.open(p, "wb") as f:
+        f.write(bytes(blob))
+
+    out, affine = load_volume(p)
+    assert out.shape == (2, 3, 4)
+    np.testing.assert_allclose(out, vol)
