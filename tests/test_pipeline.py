@@ -202,3 +202,40 @@ def test_graph_stage_box_coordinates_match_full_frame():
         assert set(a) == set(b)
         for k in a:
             np.testing.assert_allclose(a[k], b[k], rtol=1e-12)
+
+
+def test_hysteresis_mask_with_brain_boundary_suppression():
+    """Hysteresis + brain mask: near-boundary low responses are zeroed
+    (generateVesselVolume.py:186-191 semantics) while interior vessels
+    survive through the weak floor."""
+    from arterynetwork_tpu.config import PipelineConfig
+    from arterynetwork_tpu.pipeline import generate_vessel_mask
+
+    shape = (40, 40, 48)
+    rng = np.random.default_rng(0)
+    v = rng.random(shape).astype(np.float32) * 0.02
+    v[18:22, 18:22, 8:40] = 1.0          # interior vessel
+    v[2:5, 18:22, 8:40] = 0.5            # mid response near brain edge
+    brain = np.zeros(shape, np.uint8)
+    brain[2:38, 2:38, 2:46] = 1
+
+    cfg = PipelineConfig()
+    cfg.segmentation.weak_threshold_fraction = 0.05
+    cfg.segmentation.global_threshold_fraction = 0.7
+    cfg.segmentation.near_boundary_fraction = 0.8
+    cfg.segmentation.boundary_distance_voxels = 6.0
+    cfg.segmentation.min_component_size = 10
+    mask = generate_vessel_mask(v, brain_mask=brain, config=cfg)
+    assert mask[18:22, 18:22, 10:38].all()       # vessel kept
+    assert not mask[2:5, 18:22, 8:40].any()      # boundary band suppressed
+
+    # same volume without the brain mask keeps the boundary structure
+    # if it connects to a strong seed; the band structure here has no
+    # strong voxel of its own, so it still dies to hysteresis — check
+    # the plain-threshold variant instead keeps it
+    cfg2 = PipelineConfig()
+    cfg2.segmentation.weak_threshold_fraction = 0.05
+    cfg2.segmentation.global_threshold_fraction = 0.4
+    cfg2.segmentation.min_component_size = 10
+    mask2 = generate_vessel_mask(v, config=cfg2)
+    assert mask2[2:5, 18:22, 10:38].any()
