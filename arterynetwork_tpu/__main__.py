@@ -28,6 +28,12 @@ def _cmd_pipeline(args):
     cfg = PipelineConfig()
     if args.threshold is not None:
         cfg.segmentation.global_threshold_fraction = args.threshold
+    if args.weak_threshold is not None:
+        cfg.segmentation.weak_threshold_fraction = args.weak_threshold
+    cfg.segmentation.border_margin_voxels = args.border_margin
+    if args.sigmas:
+        cfg.vesselness.sigmas = tuple(float(x)
+                                      for x in args.sigmas.split(","))
     cfg.skeleton.backend = args.skeleton_backend
     store = ArtifactStore(args.out)
     kwargs = {}
@@ -35,6 +41,8 @@ def _cmd_pipeline(args):
         kwargs["raw_volume"] = np.asarray(volume, np.float32)
     else:
         kwargs["vesselness"] = np.asarray(volume, np.float32)
+    if args.brain_mask:
+        kwargs["brain_mask"] = load_volume(args.brain_mask)[0] != 0
     result = run_pipeline(config=cfg, store=store, affine=affine, **kwargs)
     summary = {
         "mask_voxels": int(result["mask"].sum()),
@@ -166,7 +174,22 @@ def main(argv=None):
     pp.add_argument("--out", required=True)
     pp.add_argument("--raw", action="store_true",
                     help="input is a raw MRA volume (compute vesselness)")
-    pp.add_argument("--threshold", type=float, default=None)
+    pp.add_argument("--threshold", type=float, default=None,
+                    help="strong threshold fraction "
+                         "(generateVesselVolume.py:190 default 0.7)")
+    pp.add_argument("--weak-threshold", type=float, default=None,
+                    help="enable hysteresis segmentation: weak floor "
+                         "fraction (components must contain a voxel "
+                         "above --threshold)")
+    pp.add_argument("--border-margin", type=int, default=0,
+                    help="zero the response within N voxels of the "
+                         "volume faces")
+    pp.add_argument("--brain-mask", default=None,
+                    help="brain mask NIfTI for near-boundary "
+                         "suppression (generateVesselVolume.py:186-191)")
+    pp.add_argument("--sigmas", default=None,
+                    help="vesselness scales, e.g. 1.0,2.0,3.0 "
+                         "(with --raw)")
     pp.add_argument("--skeleton-backend", default="auto",
                     choices=("auto", "jax", "native"))
     pp.set_defaults(fn=_cmd_pipeline)

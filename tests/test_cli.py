@@ -65,3 +65,19 @@ def test_cli_study_gbm5(tmp_path, capsys):
     assert (tmp_path / "fluidSimulationResult_GBMTest5_Timestep=1_v1.pkl"
             ).exists()
     assert (tmp_path / "gbm5_network_t0.png").exists()
+
+
+def test_cli_pipeline_hysteresis_flags(tmp_path, capsys):
+    raw = _phantom(tmp_path)
+    brain = str(tmp_path / "brain.nii.gz")
+    b = np.zeros((36, 36, 48), np.uint8)
+    b[2:34, 2:34, 2:46] = 1
+    save_volume(b, np.eye(4), brain, astype=np.uint8)
+    out = str(tmp_path / "out_h")
+    main(["pipeline", raw, "--out", out, "--raw",
+          "--threshold", "0.4", "--weak-threshold", "0.05",
+          "--border-margin", "2", "--brain-mask", brain,
+          "--sigmas", "1.5,2.5", "--skeleton-backend", "native"])
+    summary = json.loads(capsys.readouterr().out)
+    assert summary["segments"] >= 1
+    assert summary["mask_voxels"] > 0
