@@ -153,6 +153,171 @@ def _cmd_study(args):
     print(json.dumps(_clean(dict(out)), indent=2, default=str))
 
 
+def _normalized_partitions(chosen, partition_info):
+    """Merge chosenVoxels + partitionInfo into curvature-style partition
+    dicts, accepting both this package's snake_case keys and the
+    reference pickles' camelCase (loadBasicFiles consumers,
+    graphRelated.py:526-529)."""
+    out = {}
+    for name, info in partition_info.items():
+        ch = chosen.get(name, {})
+        out[name] = {
+            "initial_voxels": [tuple(v) for v in
+                               ch.get("initial_voxels",
+                                      ch.get("initialVoxels", []))],
+            "boundary_voxels": [tuple(v) for v in
+                                ch.get("boundary_voxels",
+                                       ch.get("boundaryVoxels", []))],
+            "visited_voxels": [tuple(v) for v in
+                               info.get("visited_voxels",
+                                        info.get("visitedVoxels", []))],
+            "segment_index_list": list(
+                info.get("segment_index_list",
+                         info.get("segmentIndexList", []))),
+        }
+    return out
+
+
+def _build_morpho_bundle(store, partitions_json, spacing):
+    """Build the morphology bundle from pipeline outputs when the
+    interactive partition step hasn't produced one: auto- (or JSON-)
+    seeded compartments + generateInfoDict (graphRelated.py:402-432,
+    partitionCompartmentGUIDetail.py:289-343, headless)."""
+    import json as _json
+
+    import networkx as nx
+
+    from .graphs.partitioning import partition_compartments, save_partition
+    from .graphs.traversal import partition_bfs
+    from .morpho.metrics import calculate_property
+
+    graph_name = None
+    for cand in ("graphRepresentationCleanedWithAdvancedInfo.graphml",
+                 "graphRepresentationCleanedWithEdgeInfo.graphml"):
+        if store.exists(cand):
+            graph_name = cand
+            break
+    if graph_name is None:
+        raise SystemExit("no graphml in {}: run the pipeline first"
+                         .format(store.base_dir))
+    seg_name = ("segmentListCleaned.npz"
+                if store.exists("segmentListCleaned.npz")
+                else "segmentList.npz")
+    G = store.load_graphml(graph_name)
+    segments = store.load_segment_list(seg_name)
+
+    if partitions_json:
+        with open(partitions_json) as f:
+            chosen = {name: {"initial_voxels":
+                             [tuple(v) for v in spec["initial_voxels"]],
+                             "boundary_voxels":
+                             [tuple(v) for v in
+                              spec.get("boundary_voxels", [])]}
+                      for name, spec in _json.load(f).items()}
+    else:
+        # Headless auto-seeding: one compartment per connected component,
+        # rooted at its lowest-z endpoint (the reference picks seeds in a
+        # GUI; component roots give full coverage without one).
+        names = ("ACA", "LMCA", "RMCA", "LPCA", "RPCA")
+        chosen = {}
+        comps = sorted(nx.connected_components(G), key=len, reverse=True)
+        for i, comp in enumerate(comps):
+            ends = [v for v in comp if G.degree(v) == 1] or list(comp)
+            seed = min(ends, key=lambda v: (v[2], v[0], v[1]))
+            name = (names[i] if i < len(names)
+                    else "P{}".format(i - len(names)))
+            chosen[name] = {"initial_voxels": [seed],
+                            "boundary_voxels": []}
+
+    roots = [c["initial_voxels"][0] for c in chosen.values()]
+    partition_bfs(G, roots, [])  # graph-wide depth attrs first
+    partition_info = partition_compartments(G, segments, chosen)
+    node_info, seg_info = calculate_property(
+        G, segments, spacing=spacing, skip_uncategorized=True, min_nodes=0)
+    save_partition(store, chosen, partition_info, G)
+    store.save_segment_list("segmentListCleaned.npz", segments)
+    store.save_pickle("segmentInfoDict.pkl", seg_info)
+    store.save_pickle("nodeInfoDict.pkl", node_info)
+
+
+def _cmd_morpho(args):
+    """The reference's morphology analysis driver in one command
+    (graphRelated.py __main__, :1745-1752): generateInfoDict ->
+    calculateCurvature -> statisticsPerPartition(2) -> createPlots ->
+    graphPlotPerPartition(2)."""
+    import os
+
+    from .io.artifacts import ArtifactStore, load_basic_files
+    from .morpho.curvature import calculate_curvature
+    from .viz import (fig1, fig2, fig3, fig4, fig5, fig6, fig11, fig11b,
+                      fig12, fig13, fig18, graph_plot_per_partition,
+                      statistics_per_partition, statistics_per_partition2)
+
+    store = ArtifactStore(args.dir)
+    out_dir = args.out or args.dir
+    os.makedirs(out_dir, exist_ok=True)
+
+    if args.rebuild or not store.exists("segmentInfoDict.pkl"):
+        _build_morpho_bundle(store, args.partitions, args.spacing)
+    bundle = load_basic_files(store)
+    G, segments = bundle["G"], bundle["segmentList"]
+    seg_info = bundle["segmentInfoDict"]
+    node_info = bundle["nodeInfoDict"]
+    partition_info = bundle["partitionInfo"]
+
+    parts = _normalized_partitions(bundle["chosenVoxels"], partition_info)
+    seg_info = calculate_curvature(G, seg_info, parts,
+                                   spacing_factor_mm=args.spacing_mm)
+    store.save_pickle("segmentInfoDict.pkl", seg_info)
+
+    stats = statistics_per_partition(G, segments, partition_info,
+                                     spacing=args.spacing)
+    stats2 = statistics_per_partition2(G, segments, partition_info,
+                                       spacing=args.spacing)
+
+    spacing_mm = args.spacing * 1000
+    figures = {}
+    if not args.no_figures:
+        renders = {"fig1": lambda p: fig1(seg_info, node_info,
+                                          spacing_mm=spacing_mm, path=p),
+                   "fig2": lambda p: fig2(seg_info, node_info,
+                                          spacing_mm=spacing_mm, path=p),
+                   "fig3": lambda p: fig3(seg_info, node_info, path=p),
+                   "fig4": lambda p: fig4(seg_info, node_info, path=p),
+                   "fig5": lambda p: fig5(seg_info, node_info, path=p),
+                   "fig6": lambda p: fig6(seg_info, node_info, path=p),
+                   "fig11": lambda p: fig11(seg_info, node_info,
+                                            spacing_mm=spacing_mm, path=p),
+                   "fig11b": lambda p: fig11b(seg_info, node_info,
+                                              spacing_mm=spacing_mm,
+                                              path=p),
+                   "fig12": lambda p: fig12(seg_info, node_info, path=p),
+                   "fig13": lambda p: fig13(seg_info, node_info, path=p),
+                   "fig18": lambda p: fig18(seg_info, node_info,
+                                            spacing_mm=spacing_mm,
+                                            path=p),
+                   "graphPerPartition": lambda p: graph_plot_per_partition(
+                       G, segments, seg_info, node_info, partition_info,
+                       spacing_mm=args.spacing_mm, path=p),
+                   "graphPerPartition2": lambda p: graph_plot_per_partition(
+                       G, segments, seg_info, node_info, partition_info,
+                       spacing_mm=args.spacing_mm, shared_colorbar=True,
+                       path=p)}
+        import matplotlib.pyplot as plt
+        for name, render in renders.items():
+            p = os.path.join(out_dir, name + ".png")
+            try:
+                render(p)
+                figures[name] = p
+            except Exception as exc:  # one bad panel shouldn't kill the run
+                figures[name] = "FAILED: {}".format(exc)
+            plt.close("all")
+
+    print(json.dumps({"statisticsPerPartition": stats,
+                      "statisticsPerPartition2": stats2,
+                      "figures": figures}, indent=2, default=str))
+
+
 def _cmd_info(_args):
     import jax
 
@@ -218,6 +383,27 @@ def main(argv=None):
                     help="legacy pickle bundle directory (loadNetwork)")
     ps.add_argument("--version", type=int, default=4)
     ps.set_defaults(fn=_cmd_study)
+
+    pm = sub.add_parser("morpho", help="morphology analysis driver "
+                        "(graphRelated __main__: info dicts, curvature, "
+                        "statistics, figure suite)")
+    pm.add_argument("dir", help="artifact directory (pipeline output or "
+                    "reference-style bundle)")
+    pm.add_argument("--out", default=None,
+                    help="figure output directory (default: dir)")
+    pm.add_argument("--partitions", default=None,
+                    help="JSON file {name: {initial_voxels: [[x,y,z],..], "
+                         "boundary_voxels: [...]}} replacing the "
+                         "reference's GUI seed picking")
+    pm.add_argument("--spacing", type=float, default=0.0004,
+                    help="meters/voxel (graphRelated.py:418)")
+    pm.add_argument("--spacing-mm", type=float, default=0.4,
+                    help="voxel->mm factor for curvature/radius figures "
+                         "(graphRelated.py:524)")
+    pm.add_argument("--rebuild", action="store_true",
+                    help="rebuild info dicts/partition even if present")
+    pm.add_argument("--no-figures", action="store_true")
+    pm.set_defaults(fn=_cmd_morpho)
 
     pi = sub.add_parser("info", help="backend/device info")
     pi.set_defaults(fn=_cmd_info)

@@ -67,6 +67,40 @@ def test_cli_study_gbm5(tmp_path, capsys):
     assert (tmp_path / "gbm5_network_t0.png").exists()
 
 
+def test_cli_morpho(tmp_path, capsys):
+    """morpho subcommand = graphRelated __main__ driver: builds the info
+    bundle from pipeline artifacts, runs statistics + the figure suite."""
+    raw = _phantom(tmp_path)
+    out = str(tmp_path / "out_m")
+    main(["pipeline", raw, "--out", out, "--raw", "--threshold", "0.3",
+          "--skeleton-backend", "native"])
+    capsys.readouterr()
+
+    figs = str(tmp_path / "figs")
+    main(["morpho", out, "--out", figs])
+    res = json.loads(capsys.readouterr().out)
+    stats = res["statisticsPerPartition"]
+    assert "Overall" in stats and stats["Overall"]["numBranches"] >= 1
+    assert set(res["statisticsPerPartition2"]) == {"PCA", "MCA", "ACA"}
+    # bundle persisted under the reference names
+    for name in ("segmentInfoDict.pkl", "nodeInfoDict.pkl",
+                 "partitionInfo.pkl", "chosenVoxelsForPartition.pkl",
+                 "segmentListCleaned.npz",
+                 "graphRepresentationCleanedWithAdvancedInfo.graphml"):
+        assert os.path.exists(os.path.join(out, name)), name
+    ok = {k: v for k, v in res["figures"].items()
+          if not str(v).startswith("FAILED")}
+    for name in ("fig1", "fig5", "graphPerPartition2"):
+        assert name in ok, res["figures"].get(name)
+        assert os.path.getsize(ok[name]) > 1000
+
+    # second invocation reuses the bundle (no rebuild) and still works
+    main(["morpho", out, "--out", figs, "--no-figures"])
+    res2 = json.loads(capsys.readouterr().out)
+    assert res2["figures"] == {}
+    assert "Overall" in res2["statisticsPerPartition"]
+
+
 def test_cli_pipeline_hysteresis_flags(tmp_path, capsys):
     raw = _phantom(tmp_path)
     brain = str(tmp_path / "brain.nii.gz")
