@@ -89,7 +89,10 @@ def _edges_from_skeleton(skeleton) -> Tuple[np.ndarray, np.ndarray, Tuple]:
     One representative per undirected pair.  Sparse: one argwhere pass
     over the volume, then 13 sorted-key membership checks over the voxel
     list (no full-volume shift-AND per offset)."""
-    skel = np.asarray(skeleton) != 0
+    skel = np.asarray(skeleton)
+    if skel.dtype not in (np.dtype(bool), np.dtype(np.uint8)):
+        skel = skel != 0  # np.packbits reads by truthiness: bool and
+        # uint8 volumes go straight through without a full-frame copy
     shape = skel.shape
     coords = _sparse_argwhere(skel)
     keys = _voxel_keys(coords, shape)

@@ -89,6 +89,14 @@ def get_lib():
         ctypes.c_int, ctypes.c_int, ctypes.c_int,
         ctypes.c_long,
     ]
+    lib.hysteresis_components_ds2_packed_26.restype = ctypes.c_long
+    lib.hysteresis_components_ds2_packed_26.argtypes = [
+        ctypes.POINTER(ctypes.c_uint8),
+        ctypes.POINTER(ctypes.c_uint8),
+        ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.c_long,
+        ctypes.POINTER(ctypes.c_uint8),
+    ]
     _lib = lib
     return lib
 
@@ -102,7 +110,11 @@ def edt_native(mask, squared: bool = False) -> np.ndarray:
     reference (generateVesselVolume.py:183, manualCorrectionGUI.py:243-249)
     and of the device kernel in ops/edt.py — no accelerator round trip.
     """
-    m = np.ascontiguousarray(np.asarray(mask) != 0, dtype=np.uint8)
+    m = np.asarray(mask)
+    if m.dtype != np.uint8 or not m.flags['C_CONTIGUOUS']:
+        # the kernel reads the mask by truthiness, so any contiguous
+        # uint8 volume (0/1 or 0/255) goes straight through copy-free
+        m = np.ascontiguousarray(m != 0, dtype=np.uint8)
     nz, ny, nx = m.shape
     out = np.empty(m.shape, np.float32)
     get_lib().edt3d_sq(m.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
@@ -124,7 +136,11 @@ def edt_masked_native(mask, r_max: int = 16,
     at vessel voxels, so this replaces three full-volume envelope passes
     with ~(4/3)*pi*d^3 probes per vessel voxel.
     """
-    m = np.ascontiguousarray(np.asarray(mask) != 0, dtype=np.uint8)
+    m = np.asarray(mask)
+    if m.dtype != np.uint8 or not m.flags['C_CONTIGUOUS']:
+        # truthiness semantics in the kernel: contiguous uint8 is
+        # accepted as-is (copy-free; the pipeline fast path's case)
+        m = np.ascontiguousarray(m != 0, dtype=np.uint8)
     nz, ny, nx = m.shape
     if (out is None or out.shape != m.shape or out.dtype != np.float32
             or not out.flags['C_CONTIGUOUS']):
@@ -194,6 +210,48 @@ def hysteresis_components_ds2_native(weak, strong_ds,
     return w
 
 
+def hysteresis_components_ds2_packed_native(weak_packed, shape,
+                                            strong_ds_packed,
+                                            min_size: int = 0,
+                                            out=None) -> np.ndarray:
+    """``hysteresis_components_ds2_native`` fed directly from the packed-
+    bit wire format (utils/transfer.pack_mask): both masks arrive as flat
+    MSB-first packed bits and the weak mask is unpacked once, natively,
+    into ``out`` — skipping the host-side unpackbits -> bool -> uint8
+    copy chain (three full-volume passes that dominate the segmentation
+    stage at Speck scale on this 1-core VM).
+
+    ``shape`` is the (nz, ny, nx) shape of the weak mask;
+    ``strong_ds_packed`` packs the 2x any-pooled strong mask of shape
+    ``ceil(shape / 2)``.  ``out``, when given, must be a C-contiguous
+    uint8 array of ``shape`` (reallocated otherwise); it becomes the
+    result mask in place — callers reusing a scratch buffer across runs
+    get the same aliasing caveat as pipeline._edt_scratch.
+    """
+    wp = np.ascontiguousarray(np.asarray(weak_packed).reshape(-1),
+                              dtype=np.uint8)
+    sp = np.ascontiguousarray(np.asarray(strong_ds_packed).reshape(-1),
+                              dtype=np.uint8)
+    nz, ny, nx = (int(s) for s in shape)
+    total = nz * ny * nx
+    if wp.size != (total + 7) // 8:
+        raise ValueError(f"weak_packed has {wp.size} bytes, "
+                         f"expected {(total + 7) // 8} for shape {shape}")
+    stotal = ((nz + 1) // 2) * ((ny + 1) // 2) * ((nx + 1) // 2)
+    if sp.size != (stotal + 7) // 8:
+        raise ValueError(f"strong_ds_packed has {sp.size} bytes, "
+                         f"expected {(stotal + 7) // 8}")
+    if (out is None or out.shape != (nz, ny, nx) or out.dtype != np.uint8
+            or not out.flags['C_CONTIGUOUS']):
+        out = np.empty((nz, ny, nx), np.uint8)
+    get_lib().hysteresis_components_ds2_packed_26(
+        wp.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        sp.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        nz, ny, nx, int(min_size),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))
+    return out
+
+
 def drop_small_components_native(mask, threshold: int) -> np.ndarray:
     """Zero 26-connected components with <= threshold voxels (native,
     in one pass; reference main(), generateVesselVolume.py:195-199)."""
@@ -206,18 +264,30 @@ def drop_small_components_native(mask, threshold: int) -> np.ndarray:
 
 
 def bounding_box(mask, margin: int = 1):
-    """Slices of the foreground bounding box (with margin, clipped)."""
-    mask = np.asarray(mask) != 0
+    """Slices of the foreground bounding box (with margin, clipped).
+
+    Nonzero = foreground for any numeric dtype — no full-volume bool
+    copy; the 3D case runs two reduction passes instead of four (the
+    z/y profiles share one 2D projection)."""
+    mask = np.asarray(mask)
+
+    def _sl(profile, axis):
+        nz = np.nonzero(profile)[0]
+        return slice(max(int(nz[0]) - margin, 0),
+                     min(int(nz[-1]) + margin + 1, mask.shape[axis]))
+
+    if mask.ndim == 3:
+        proj_zy = mask.any(axis=2)
+        if not proj_zy.any():
+            return tuple(slice(0, 1) for _ in mask.shape)
+        return (_sl(proj_zy.any(axis=1), 0), _sl(proj_zy.any(axis=0), 1),
+                _sl(mask.any(axis=(0, 1)), 2))
     if not mask.any():
         return tuple(slice(0, 1) for _ in mask.shape)
-    out = []
-    for axis in range(mask.ndim):
-        proj = mask.any(axis=tuple(a for a in range(mask.ndim)
-                                   if a != axis))
-        nz = np.nonzero(proj)[0]
-        out.append(slice(max(int(nz[0]) - margin, 0),
-                         min(int(nz[-1]) + margin + 1, mask.shape[axis])))
-    return tuple(out)
+    return tuple(
+        _sl(mask.any(axis=tuple(a for a in range(mask.ndim) if a != axis)),
+            axis)
+        for axis in range(mask.ndim))
 
 
 def skeletonize_native(mask, distance_ordered: bool = True,
@@ -253,18 +323,26 @@ def skeletonize_native(mask, distance_ordered: bool = True,
 
 
 def skeletonize_native_cropped(mask_box, d2_box,
-                               preserve_endpoints: bool = True) -> np.ndarray:
+                               preserve_endpoints: bool = True,
+                               clobber: bool = False) -> np.ndarray:
     """Thinning on an already-cropped volume with a precomputed SQUARED
     distance transform — the pipeline's box-coordinate fast path (no
-    re-bboxing, no full-frame copies, no sqrt->square round trip)."""
-    vol = np.ascontiguousarray(np.asarray(mask_box) != 0, dtype=np.uint8)
+    re-bboxing, no full-frame copies, no sqrt->square round trip).
+
+    ``clobber=True`` thins a C-contiguous uint8 ``mask_box`` IN PLACE
+    and returns it (uint8 0/1, the same buffer) — two fewer box-sized
+    copies for callers that are done with the mask crop."""
+    vol = np.asarray(mask_box)
+    if not (clobber and vol.dtype == np.uint8
+            and vol.flags['C_CONTIGUOUS']):
+        vol = np.ascontiguousarray(vol != 0, dtype=np.uint8)
     d2 = np.ascontiguousarray(d2_box, dtype=np.float32)
     nz, ny, nx = vol.shape
     get_lib().thin_volume(
         vol.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), nz, ny, nx,
         d2.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
         int(preserve_endpoints))
-    return vol.astype(bool)
+    return vol if clobber else vol.astype(bool)
 
 
 def simple_point_native(code: int) -> bool:

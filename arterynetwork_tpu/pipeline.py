@@ -57,6 +57,17 @@ def _edt_scratch(shape):
     return arr
 
 
+def _mask_scratch(shape):
+    """Reusable uint8 full-frame mask buffer (same aliasing caveat as
+    ``_edt_scratch``: the result dict's ``mask`` from a previous run with
+    the same shape is overwritten by the next run)."""
+    arr = _SCRATCH.get("mask")
+    if arr is None or arr.shape != tuple(shape):
+        arr = np.empty(shape, np.uint8)
+        _SCRATCH["mask"] = arr
+    return arr
+
+
 @dataclasses.dataclass
 class StageTimings:
     seconds: Dict[str, float] = dataclasses.field(default_factory=dict)
@@ -231,10 +242,19 @@ def generate_vessel_mask(vesselness, brain_mask=None,
             weak_d, strong_ds = _threshold_hysteresis(
                 v, cfg.weak_threshold_fraction,
                 cfg.global_threshold_fraction, margin)
-        from .ops.native import hysteresis_components_ds2_native
-        mask = hysteresis_components_ds2_native(
-            mask_to_host(weak_d), mask_to_host(strong_ds),
-            min_size=cfg.min_component_size)
+        from .ops.native import hysteresis_components_ds2_packed_native
+        from .utils.transfer import pack_mask
+
+        # enqueue both packs before either download so the device works
+        # while the first transfer drains the wire; the packed bytes feed
+        # the native selection directly (one LUT unpack in C++ into a
+        # reused full-frame scratch — no host-side unpack/copy chain)
+        wp_d = pack_mask(weak_d)
+        sp_d = pack_mask(strong_ds)
+        mask = hysteresis_components_ds2_packed_native(
+            np.asarray(wp_d), weak_d.shape, np.asarray(sp_d),
+            min_size=cfg.min_component_size,
+            out=_mask_scratch(weak_d.shape))
     else:
         if brain_mask is not None:
             brain = jnp.asarray(np.asarray(brain_mask))
@@ -495,7 +515,9 @@ def run_pipeline(vesselness=None, brain_mask=None, seed_mask=None,
                                  skeletonize_native_cropped)
 
         t0 = time.perf_counter()
-        vv = np.asarray(mask) != 0
+        # the mask stages emit uint8 0/1; bounding_box and the native
+        # kernels read by truthiness, so no full-frame bool copy is made
+        vv = np.asarray(mask)
         box = bounding_box(vv, margin=2)
         origin = tuple(int(s.start) for s in box)
         mask_box = np.ascontiguousarray(vv[box], np.uint8)
@@ -507,9 +529,12 @@ def run_pipeline(vesselness=None, brain_mask=None, seed_mask=None,
         timings.add("edt", time.perf_counter() - t0)
 
         t0 = time.perf_counter()
+        # mask_box is dead after thinning: clobber it in place (skips two
+        # box-sized copies)
         skel_work = skeletonize_native_cropped(
             mask_box, d2_box,
-            preserve_endpoints=config.skeleton.preserve_endpoints)
+            preserve_endpoints=config.skeleton.preserve_endpoints,
+            clobber=True)
         dt = np.sqrt(d2_box, out=d2_box)  # thinning consumed the squares
         skeleton = np.zeros(vv.shape, bool)
         skeleton[box] = skel_work

@@ -13,15 +13,26 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def mask_to_host(mask_device) -> np.ndarray:
-    """bool device array -> bool numpy array via packed bits."""
-    m = mask_device.reshape(-1)
+@jax.jit
+def _pack_bits(m):
+    m = m.reshape(-1)
     pad = (-m.shape[0]) % 8
     m = jnp.pad(m.astype(jnp.uint8), (0, pad))
     bits = m.reshape(-1, 8)
     weights = jnp.asarray([128, 64, 32, 16, 8, 4, 2, 1], jnp.uint8)
-    packed = jnp.sum(bits * weights[None, :], axis=1, dtype=jnp.uint8)
-    host = np.unpackbits(np.asarray(packed))
+    return jnp.sum(bits * weights[None, :], axis=1, dtype=jnp.uint8)
+
+
+def pack_mask(mask_device):
+    """bool device array -> flat packed-bit uint8 device array (MSB-first
+    np.packbits order — the wire format the packed native consumers read,
+    e.g. ops/native.hysteresis_components_ds2_packed_native)."""
+    return _pack_bits(mask_device)
+
+
+def mask_to_host(mask_device) -> np.ndarray:
+    """bool device array -> bool numpy array via packed bits."""
+    host = np.unpackbits(np.asarray(pack_mask(mask_device)))
     n = int(np.prod(mask_device.shape))
     return host[:n].reshape(mask_device.shape).astype(bool)
 

@@ -462,4 +462,52 @@ long hysteresis_components_ds2_26(uint8_t* weak, const uint8_t* strong_ds,
     return kept;
 }
 
+// Packed-bit entry for the ds2 hysteresis selection: `weak_packed` and
+// `strong_ds_packed` arrive as MSB-first packed bits (np.packbits order,
+// the device wire format of utils/transfer.pack_mask).  The weak mask is
+// unpacked natively into the caller-owned `out` buffer (nz*ny*nx uint8)
+// with a 256-entry 8-byte LUT in one pass — replacing the host-side
+// unpackbits -> bool -> uint8 copy chain (three full-volume passes that
+// dominated the segmentation stage at Speck scale on a 1-core host).
+// `out` then becomes the result mask in place, exactly as
+// hysteresis_components_ds2_26.  Returns the number of kept components.
+// NOT thread-safe: reuses a static scratch for the unpacked strong mask
+// (same deliberate single-threaded-pipeline tradeoff as
+// drop_small_components_26 above).
+long hysteresis_components_ds2_packed_26(
+        const uint8_t* weak_packed, const uint8_t* strong_ds_packed,
+        int nz, int ny, int nx, long min_size, uint8_t* out) {
+    static uint64_t lut[256];
+    static bool lut_ready = false;
+    if (!lut_ready) {
+        for (int b = 0; b < 256; ++b) {
+            uint8_t e[8];
+            for (int j = 0; j < 8; ++j) e[j] = (b >> (7 - j)) & 1;
+            std::memcpy(&lut[b], e, 8);
+        }
+        lut_ready = true;
+    }
+    const long total = static_cast<long>(nz) * ny * nx;
+    const long nfull = total / 8;
+#ifdef _OPENMP
+#pragma omp parallel for schedule(static)
+#endif
+    for (long k = 0; k < nfull; ++k)
+        std::memcpy(out + 8 * k, &lut[weak_packed[k]], 8);
+    for (long i = nfull * 8; i < total; ++i)
+        out[i] = (weak_packed[i >> 3] >> (7 - (i & 7))) & 1;
+
+    const int dz = (nz + 1) / 2, dy = (ny + 1) / 2, dx = (nx + 1) / 2;
+    const long stotal = static_cast<long>(dz) * dy * dx;
+    static std::vector<uint8_t> strong;
+    strong.resize(stotal);
+    const long sfull = stotal / 8;
+    for (long k = 0; k < sfull; ++k)
+        std::memcpy(strong.data() + 8 * k, &lut[strong_ds_packed[k]], 8);
+    for (long i = sfull * 8; i < stotal; ++i)
+        strong[i] = (strong_ds_packed[i >> 3] >> (7 - (i & 7))) & 1;
+    return hysteresis_components_ds2_26(out, strong.data(), nz, ny, nx,
+                                        min_size);
+}
+
 }  // extern "C"

@@ -186,3 +186,43 @@ def test_hysteresis_ds2_matches_full_res():
                       pad.shape[2] // 2, 2).any(axis=(1, 3, 5))
     ds = hysteresis_components_ds2_native(weak.copy(), sds, min_size=2)
     np.testing.assert_array_equal(full, ds)
+
+
+def test_hysteresis_ds2_packed_matches_unpacked():
+    """The packed-bit wire entry == the uint8 entry, including non-8-
+    multiple totals (tail bits) and an aliased ``out`` scratch."""
+    from arterynetwork_tpu.ops.native import (
+        hysteresis_components_ds2_native,
+        hysteresis_components_ds2_packed_native)
+
+    rng = np.random.default_rng(3)
+    out = None
+    for shape in [(9, 7, 5), (21, 22, 23), (16, 16, 17)]:
+        weak = rng.random(shape) < 0.2
+        strong = weak & (rng.random(shape) < 0.1)
+        z, y, x = shape
+        pad = np.zeros(((z + 1) // 2 * 2, (y + 1) // 2 * 2,
+                        (x + 1) // 2 * 2), bool)
+        pad[:z, :y, :x] = strong
+        sds = pad.reshape(pad.shape[0] // 2, 2, pad.shape[1] // 2, 2,
+                          pad.shape[2] // 2, 2).any(axis=(1, 3, 5))
+        ref = hysteresis_components_ds2_native(weak.copy(), sds, min_size=2)
+        got = hysteresis_components_ds2_packed_native(
+            np.packbits(weak.reshape(-1)), shape,
+            np.packbits(sds.reshape(-1)), min_size=2, out=out)
+        assert got.dtype == np.uint8
+        np.testing.assert_array_equal(ref, got)
+        out = got  # next iteration reuses (and reallocates on mismatch)
+
+
+def test_pack_mask_round_trip():
+    """Device pack_mask bytes == np.packbits of the host mask."""
+    import jax.numpy as jnp
+
+    from arterynetwork_tpu.utils.transfer import mask_to_host, pack_mask
+
+    rng = np.random.default_rng(11)
+    m = rng.random((7, 9, 11)) < 0.4
+    packed = np.asarray(pack_mask(jnp.asarray(m)))
+    np.testing.assert_array_equal(packed, np.packbits(m.reshape(-1)))
+    np.testing.assert_array_equal(mask_to_host(jnp.asarray(m)), m)
