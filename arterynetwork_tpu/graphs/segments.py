@@ -62,9 +62,22 @@ def _keys_to_coords(keys: np.ndarray, shape) -> np.ndarray:
 
 
 def _sparse_argwhere(vol: np.ndarray) -> np.ndarray:
-    """``np.argwhere`` for very sparse boolean volumes: scan packed bytes
-    (8 voxels at a time), then unpack only the nonzero bytes — ~4x
-    faster than argwhere at skeleton densities (<0.1%)."""
+    """``np.argwhere`` for very sparse boolean volumes.
+
+    Native word-skipping scan when the C library is available (all-zero
+    8-byte words skipped — memory-read speed), else packed-byte scan
+    (8 voxels at a time, unpack only nonzero bytes; ~4x faster than
+    argwhere at skeleton densities <0.1%)."""
+    if vol.dtype in (np.dtype(bool), np.dtype(np.uint8)):
+        try:
+            from ..ops.native import nonzero_flat_native
+            idx = nonzero_flat_native(vol)
+            nz, ny, nx = vol.shape
+            z, rem = np.divmod(idx, ny * nx)
+            y, x = np.divmod(rem, nx)
+            return np.stack([z, y, x], axis=1).astype(np.int64)
+        except Exception:
+            pass  # no toolchain: packed-byte fallback below
     # np.packbits accepts bool input directly: no full-volume uint8
     # copy (a fresh 0.5 GB first-touch at Speck scale on this VM)
     flat = vol.reshape(-1)

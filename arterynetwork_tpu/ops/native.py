@@ -97,6 +97,13 @@ def get_lib():
         ctypes.c_long,
         ctypes.POINTER(ctypes.c_uint8),
     ]
+    lib.nonzero_indices_u8.restype = ctypes.c_long
+    lib.nonzero_indices_u8.argtypes = [
+        ctypes.POINTER(ctypes.c_uint8),
+        ctypes.c_long,
+        ctypes.POINTER(ctypes.c_int64),
+        ctypes.c_long,
+    ]
     _lib = lib
     return lib
 
@@ -343,6 +350,38 @@ def skeletonize_native_cropped(mask_box, d2_box,
         d2.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
         int(preserve_endpoints))
     return vol if clobber else vol.astype(bool)
+
+
+def nonzero_flat_native(vol, expect: int = 0) -> np.ndarray:
+    """Flat indices (int64, scan order) of nonzero bytes in a bool/uint8
+    volume — the native replacement for ``np.flatnonzero`` on very sparse
+    volumes: all-zero 8-byte words are skipped, so the scan runs at
+    memory-read speed (~5x the packbits route at vessel-mask densities).
+
+    ``expect`` sizes the first output buffer (0 -> 1M); if the true count
+    exceeds it the scan is repeated once with the exact size.
+    """
+    m = np.asarray(vol)
+    flat = m.reshape(-1)
+    if (flat.dtype not in (np.dtype(np.uint8), np.dtype(bool))
+            or not flat.flags['C_CONTIGUOUS']):
+        flat = np.ascontiguousarray(flat != 0)
+    if flat.dtype == np.dtype(bool):
+        flat = flat.view(np.uint8)  # no copy: same buffer, truthy bytes
+    lib = get_lib()
+    cap = int(expect) if expect > 0 else (1 << 20)
+    out = np.empty(cap, np.int64)
+    n = flat.size
+    ptr = flat.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
+    count = lib.nonzero_indices_u8(
+        ptr, n, out.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)), cap)
+    if count > cap:
+        out = np.empty(count, np.int64)
+        lib.nonzero_indices_u8(
+            ptr, n, out.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            count)
+        return out
+    return out[:count]
 
 
 def simple_point_native(code: int) -> bool:

@@ -185,6 +185,15 @@ static bool has_bg6(const Vol& v, int z, int y, int x) {
         || !v.at(z, y, x - 1) || !v.at(z, y, x + 1);
 }
 
+// UB-free unaligned 8-byte load (x86 folds this to a plain mov).  Vessel
+// volumes are ~0.6% foreground, so the full-volume scans below skip
+// all-zero 8-byte words and touch only ~1/8 of the bytes.
+static inline uint64_t load8(const uint8_t* p) {
+    uint64_t w;
+    std::memcpy(&w, p, 8);
+    return w;
+}
+
 }  // namespace
 
 extern "C" {
@@ -199,9 +208,17 @@ long thin_volume(uint8_t* vol, int nz, int ny, int nx,
     Vol v{vol, nz, ny, nx};
     long n = static_cast<long>(nz) * ny * nx;
 
+    const long n8 = n & ~7L;
     float max_d2 = 1.0f;
     if (dist2) {
-        for (long i = 0; i < n; ++i)
+        long i = 0;
+        for (; i < n8; i += 8) {
+            if (!load8(vol + i)) continue;
+            for (int b = 0; b < 8; ++b)
+                if (vol[i + b] && dist2[i + b] > max_d2)
+                    max_d2 = dist2[i + b];
+        }
+        for (; i < n; ++i)
             if (vol[i] && dist2[i] > max_d2) max_d2 = dist2[i];
     }
 
@@ -226,21 +243,33 @@ long thin_volume(uint8_t* vol, int nz, int ny, int nx,
     leftover.reserve(1 << 16);
     std::vector<std::vector<long>> buckets(
         static_cast<size_t>(max_level) + 2);
-    for (int z = 0; z < nz; ++z)
-        for (int y = 0; y < ny; ++y)
-            for (int x = 0; x < nx; ++x) {
-                long i = v.idx(z, y, x);
-                if (!vol[i] || !has_bg6(v, z, y, x)) continue;
-                int lvl = 1;
-                if (dist2) {
-                    float d2 = dist2[i];
-                    while (lvl <= max_level
-                           && static_cast<float>(lvl) * lvl + 0.5f < d2)
-                        ++lvl;
-                }
-                vol[i] |= kPend;
-                buckets[lvl].push_back(i);
-            }
+    // flat-index scan == the z,y,x scan order (sequential thinning is
+    // order-dependent, so this must not change); zero words skipped
+    auto seed_voxel = [&](long i) {
+        int x = static_cast<int>(i % nx);
+        int y = static_cast<int>((i / nx) % ny);
+        int z = static_cast<int>(i / (static_cast<long>(nx) * ny));
+        if (!has_bg6(v, z, y, x)) return;
+        int lvl = 1;
+        if (dist2) {
+            float d2 = dist2[i];
+            while (lvl <= max_level
+                   && static_cast<float>(lvl) * lvl + 0.5f < d2)
+                ++lvl;
+        }
+        vol[i] |= kPend;
+        buckets[lvl].push_back(i);
+    };
+    {
+        long i = 0;
+        for (; i < n8; i += 8) {
+            if (!load8(vol + i)) continue;
+            for (int b = 0; b < 8; ++b)
+                if (vol[i + b]) seed_voxel(i + b);
+        }
+        for (; i < n; ++i)
+            if (vol[i]) seed_voxel(i);
+    }
 
     auto consider = [&](int z, int y, int x, float lvl2) -> bool {
         long i = v.idx(z, y, x);
@@ -309,7 +338,18 @@ long thin_volume(uint8_t* vol, int nz, int ny, int nx,
         }
     }
     // all queues drain by construction, but guarantee clean 0/1 output
-    for (long i = 0; i < n; ++i) vol[i] &= 1;
+    // (bytes are 0..3: bit 0 = foreground, bit 1 = stale pending flag)
+    {
+        constexpr uint64_t kLow = 0x0101010101010101ULL;
+        long i = 0;
+        for (; i < n8; i += 8) {
+            uint64_t w = load8(vol + i);
+            if (!w) continue;
+            uint64_t m = w & kLow;
+            if (m != w) std::memcpy(vol + i, &m, 8);
+        }
+        for (; i < n; ++i) vol[i] &= 1;
+    }
     return deleted_total;
 }
 

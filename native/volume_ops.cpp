@@ -219,6 +219,12 @@ long edt3d_sq_masked(const uint8_t* mask, int nz, int ny, int nx,
                 const bool zy_in = z_in && y >= r_max && y < ny - r_max;
                 const long row = (static_cast<long>(z) * ny + y) * nx;
                 for (int x = 0; x < nx; ++x) {
+                    // skip all-zero 8-byte words (~0.6% foreground)
+                    if (!(x & 7) && x + 8 <= nx) {
+                        uint64_t w;
+                        std::memcpy(&w, mask + row + x, 8);
+                        if (!w) { x += 7; continue; }
+                    }
                     if (!mask[row + x]) continue;
                     const long p = row + x;
                     float d2 = kLarge;
@@ -508,6 +514,35 @@ long hysteresis_components_ds2_packed_26(
         strong[i] = (strong_ds_packed[i >> 3] >> (7 - (i & 7))) & 1;
     return hysteresis_components_ds2_26(out, strong.data(), nz, ny, nx,
                                         min_size);
+}
+
+// Flat indices of nonzero bytes (truthiness scan) — the host-side
+// replacement for np.argwhere on very sparse volumes (vessel masks
+// ~0.6%, skeletons ~0.01%): all-zero 8-byte words are skipped, so the
+// scan runs at memory-read speed instead of packbits+unpackbits passes.
+// Writes at most `cap` indices; ALWAYS returns the true nonzero count
+// (callers grow the buffer and rescan when count > cap).
+long nonzero_indices_u8(const uint8_t* vol, long n,
+                        int64_t* out, long cap) {
+    long count = 0;
+    const long n8 = n & ~7L;
+    long i = 0;
+    for (; i < n8; i += 8) {
+        uint64_t w;
+        std::memcpy(&w, vol + i, 8);
+        if (!w) continue;
+        for (int b = 0; b < 8; ++b)
+            if (vol[i + b]) {
+                if (count < cap) out[count] = i + b;
+                ++count;
+            }
+    }
+    for (; i < n; ++i)
+        if (vol[i]) {
+            if (count < cap) out[count] = i;
+            ++count;
+        }
+    return count;
 }
 
 }  // extern "C"

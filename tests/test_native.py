@@ -79,3 +79,33 @@ def test_native_vs_jax_thinning_equivalence_class():
     # both are drastically thinner than the input
     assert a.sum() < vol.sum() * 0.25
     assert b.sum() < vol.sum() * 0.25
+
+
+def test_nonzero_flat_native_matches_numpy():
+    """Word-skipping nonzero scan == np.flatnonzero on sparse volumes,
+    across dtypes, alignments (odd tail), and the buffer-regrow path."""
+    from arterynetwork_tpu.ops.native import nonzero_flat_native
+
+    rng = np.random.default_rng(7)
+    vol = (rng.random((23, 31, 37)) < 0.01)
+    for arr in (vol, vol.astype(np.uint8), vol.astype(np.uint8) * 255):
+        got = nonzero_flat_native(arr)
+        np.testing.assert_array_equal(got, np.flatnonzero(arr))
+    # regrow path: expect smaller than the true count
+    got = nonzero_flat_native(vol, expect=3)
+    np.testing.assert_array_equal(got, np.flatnonzero(vol))
+    # empty and dense edges
+    assert nonzero_flat_native(np.zeros((4, 4, 5), bool)).size == 0
+    dense = np.ones((3, 5, 7), np.uint8)
+    np.testing.assert_array_equal(nonzero_flat_native(dense),
+                                  np.arange(dense.size))
+
+
+def test_sparse_argwhere_native_matches_argwhere():
+    from arterynetwork_tpu.graphs.segments import _sparse_argwhere
+
+    rng = np.random.default_rng(11)
+    vol = (rng.random((19, 45, 33)) < 0.005)
+    np.testing.assert_array_equal(_sparse_argwhere(vol), np.argwhere(vol))
+    np.testing.assert_array_equal(
+        _sparse_argwhere(vol.astype(np.uint8)), np.argwhere(vol))
