@@ -26,7 +26,9 @@ class VesselnessConfig:
     bright: bool = True
     # raw-volume wire format to the accelerator: "u12" (packed 12-bit
     # fixed point, full MRA acquisition precision at 1.5 B/voxel),
-    # "u8", or "f16" (utils/transfer.upload_quantized)
+    # "u8", "bq4" (row-adaptive 4-bit: per-(z,y)-row min/scale sideband,
+    # 0.5 B/voxel — quantization step = row range/15, below image noise
+    # on MRA-like data), or "f16" (utils/transfer.upload_quantized)
     upload_format: str = "u12"
 
 

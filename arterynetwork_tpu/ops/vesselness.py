@@ -362,6 +362,23 @@ def _upload_slab_u12(volp, packed, start, scale, offset, rows, yx):
 
 
 @functools.partial(jax.jit, donate_argnums=(0,))
+def _upload_slab_bq4(volp, packed, row_scale, row_min, start):
+    """Unpack one row-adaptive 4-bit slab into volp.
+
+    ``packed``: uint8 (rows, ny, nx//2), two voxels per byte (high nibble
+    first).  ``row_scale``/``row_min``: f32 (rows, ny) per-(z,y)-row
+    dequantization — 8 bytes per ``nx`` voxels of sideband (<1% wire
+    overhead) buys block-adaptive precision: a row's quantization step is
+    its own range/15, so flat background rows are near-exact and the step
+    stays below image noise even through vessels."""
+    hi = (packed >> 4).astype(jnp.float32)
+    lo = (packed & 0xF).astype(jnp.float32)
+    q = jnp.stack([hi, lo], axis=-1).reshape(packed.shape[:2] + (-1,))
+    sl = q * row_scale[..., None] + row_min[..., None]
+    return jax.lax.dynamic_update_slice_in_dim(volp, sl, start, axis=0)
+
+
+@functools.partial(jax.jit, donate_argnums=(0,))
 def _upload_slab_f16(volp, slab_f16, start):
     return jax.lax.dynamic_update_slice_in_dim(
         volp, slab_f16.astype(jnp.float32), start, axis=0)
@@ -403,6 +420,8 @@ def frangi_vesselness_streamed(raw, sigmas=(1.0, 2.0, 3.0),
     n_chunks = -(-Z // chunk_z)
     Zp = n_chunks * chunk_z
 
+    if bits == 4 and raw.shape[2] % 2:
+        bits = 8  # nibble pairing needs an even x extent
     mn = float(raw.min())
     scale = (float(raw.max()) - mn) or 1.0
 
@@ -414,6 +433,18 @@ def frangi_vesselness_streamed(raw, sigmas=(1.0, 2.0, 3.0),
         hi = min(Z, lo + chunk_z)
         rows = hi - lo
         sl = raw[lo:hi]
+        if bits == 4:
+            # row-adaptive 4-bit: per-(z,y)-row min/scale sideband
+            slf = sl.astype(np.float32)
+            rmn = slf.min(axis=2)
+            rng = slf.max(axis=2) - rmn
+            inv = np.where(rng > 0, 15.0 / np.maximum(rng, 1e-30), 0.0)
+            q = np.round((slf - rmn[..., None])
+                         * inv[..., None]).astype(np.uint8)
+            packed = (q[..., 0::2] << 4) | q[..., 1::2]
+            return _upload_slab_bq4(volp, jnp.asarray(packed),
+                                    jnp.asarray(rng / 15.0),
+                                    jnp.asarray(rmn), lo + halo)
         if bits == 8:
             q = np.round((sl.astype(np.float32) - mn)
                          * (255.0 / scale)).astype(np.uint8)

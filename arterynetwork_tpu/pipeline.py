@@ -193,7 +193,7 @@ def vesselness_stage(raw_volume, config: Optional[PipelineConfig] = None,
     cfg = (config or PipelineConfig()).vesselness
     # raw MRA is ~12-bit, so the default wire format is packed 12-bit
     # fixed point (1.5 B/voxel), dequantized on device
-    bits = {"u8": 8, "u12": 12, "f16": 16}[cfg.upload_format]
+    bits = {"bq4": 4, "u8": 8, "u12": 12, "f16": 16}[cfg.upload_format]
     v, t_up, t_comp = frangi_vesselness_streamed(
         raw_volume, sigmas=tuple(cfg.sigmas),
         alpha=cfg.alpha, beta=cfg.beta, gamma=cfg.gamma,
@@ -463,14 +463,17 @@ def _solve_network(net, node_of, cfg, store=None, boundary_pressure=None,
         plan = plan_elimination(system)
     sol = solve_pressure_newton(system, max_iter=cfg.max_iter, tol=cfg.tol,
                                 linear_solver=cfg.linear_solver, plan=plan)
-    net = net.replace(node_pressure=np.asarray(sol.pressure),
-                      edge_flow=np.asarray(sol.flow),
-                      edge_velocity=np.asarray(sol.velocity))
+    # single device->host read: each transfer pays the ~25 ms tunnel
+    # roundtrip regardless of size, so fetch the solution as one pytree
+    pressure, flow, velocity = _jax.device_get(
+        (sol.pressure, sol.flow, sol.velocity))
+    net = net.replace(node_pressure=pressure, edge_flow=flow,
+                      edge_velocity=velocity)
     if store is not None:
         store.save_pickle("fluidSimulationResult.pkl", {
-            "pressure": np.asarray(sol.pressure),
-            "flow": np.asarray(sol.flow),
-            "velocity": np.asarray(sol.velocity),
+            "pressure": pressure,
+            "flow": flow,
+            "velocity": velocity,
             "node_of": {str(k): int(v) for k, v in node_of.items()},
         })
     return net, sol, node_of
