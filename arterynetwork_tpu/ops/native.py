@@ -104,6 +104,14 @@ def get_lib():
         ctypes.POINTER(ctypes.c_int64),
         ctypes.c_long,
     ]
+    lib.bq4_pack_f32.restype = None
+    lib.bq4_pack_f32.argtypes = [
+        ctypes.POINTER(ctypes.c_float),
+        ctypes.c_long, ctypes.c_long,
+        ctypes.POINTER(ctypes.c_uint8),
+        ctypes.POINTER(ctypes.c_float),
+        ctypes.POINTER(ctypes.c_float),
+    ]
     _lib = lib
     return lib
 
@@ -387,3 +395,27 @@ def nonzero_flat_native(vol, expect: int = 0) -> np.ndarray:
 def simple_point_native(code: int) -> bool:
     """Simple-point oracle for a 26-bit neighborhood code."""
     return bool(get_lib().simple_point_code(ctypes.c_uint32(code)))
+
+
+def bq4_pack_native(slab: np.ndarray):
+    """Row-adaptive 4-bit quantize + nibble pack of a float32 slab
+    (rows, ny, nx) for the "bq4" upload format — one pass over memory
+    (each x-row's second read comes from L1).  Returns
+    ``(packed u8 (rows, ny, nx//2), row_scale f32, row_min f32)``,
+    bit-exact with the numpy fallback in ``ops/vesselness.py``.
+    ``nx`` must be even and the slab C-contiguous float32.
+    """
+    if slab.dtype != np.float32 or not slab.flags['C_CONTIGUOUS'] \
+            or slab.shape[-1] % 2:
+        raise ValueError("bq4_pack_native needs contiguous f32, even nx")
+    rows, ny, nx = slab.shape
+    packed = np.empty((rows, ny, nx // 2), np.uint8)
+    row_scale = np.empty((rows, ny), np.float32)
+    row_min = np.empty((rows, ny), np.float32)
+    get_lib().bq4_pack_f32(
+        slab.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        rows * ny, nx,
+        packed.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        row_scale.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        row_min.ctypes.data_as(ctypes.POINTER(ctypes.c_float)))
+    return packed, row_scale, row_min

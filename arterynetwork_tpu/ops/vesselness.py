@@ -434,16 +434,27 @@ def frangi_vesselness_streamed(raw, sigmas=(1.0, 2.0, 3.0),
         rows = hi - lo
         sl = raw[lo:hi]
         if bits == 4:
-            # row-adaptive 4-bit: per-(z,y)-row min/scale sideband
-            slf = sl.astype(np.float32)
-            rmn = slf.min(axis=2)
-            rng = slf.max(axis=2) - rmn
-            inv = np.where(rng > 0, 15.0 / np.maximum(rng, 1e-30), 0.0)
-            q = np.round((slf - rmn[..., None])
-                         * inv[..., None]).astype(np.uint8)
-            packed = (q[..., 0::2] << 4) | q[..., 1::2]
+            # row-adaptive 4-bit: per-(z,y)-row min/scale sideband.
+            # Native single-pass pack when the C library is available
+            # (row min/max scan + L1-resident quantize ~4x the numpy
+            # passes on this 1-core VM), bit-exact numpy fallback else.
+            slf = sl if sl.dtype == np.float32 \
+                else sl.astype(np.float32)
+            try:
+                from .native import bq4_pack_native
+                packed, rsc, rmn = bq4_pack_native(
+                    np.ascontiguousarray(slf))
+            except Exception:  # no toolchain: numpy passes
+                rmn = slf.min(axis=2)
+                rng = slf.max(axis=2) - rmn
+                inv = np.where(rng > 0, 15.0 / np.maximum(rng, 1e-30),
+                               0.0)
+                q = np.round((slf - rmn[..., None])
+                             * inv[..., None]).astype(np.uint8)
+                packed = (q[..., 0::2] << 4) | q[..., 1::2]
+                rsc = rng / 15.0
             return _upload_slab_bq4(volp, jnp.asarray(packed),
-                                    jnp.asarray(rng / 15.0),
+                                    jnp.asarray(rsc),
                                     jnp.asarray(rmn), lo + halo)
         if bits == 8:
             q = np.round((sl.astype(np.float32) - mn)

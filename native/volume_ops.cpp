@@ -15,6 +15,7 @@
 // Build: g++ -O3 -fopenmp -shared -fPIC volume_ops.cpp (see ops/native.py)
 
 #include <algorithm>
+#include <cmath>
 #include <cstdint>
 #include <cstring>
 #include <limits>
@@ -543,6 +544,39 @@ long nonzero_indices_u8(const uint8_t* vol, long n,
             ++count;
         }
     return count;
+}
+
+// Row-adaptive 4-bit quantize + nibble pack for the vesselness upload
+// stream (ops/vesselness.frangi_vesselness_streamed, format "bq4").
+// One pass over the slab: each x-row (nx floats, L1-resident) is
+// scanned for min/max, then re-read from cache and packed two voxels
+// per byte (high nibble first).  Matches the numpy fallback bit-exactly
+// (rintf == np.round, both round-half-to-even).  nx must be even.
+void bq4_pack_f32(const float* sl, long nrows, long nx,
+                  uint8_t* packed, float* row_scale, float* row_min) {
+    const long half = nx / 2;
+    #pragma omp parallel for schedule(static)
+    for (long r = 0; r < nrows; ++r) {
+        const float* row = sl + r * nx;
+        float mn = row[0], mx = row[0];
+        for (long i = 1; i < nx; ++i) {
+            const float v = row[i];
+            mn = v < mn ? v : mn;
+            mx = v > mx ? v : mx;
+        }
+        const float rng = mx - mn;
+        const float inv = rng > 0.0f ? 15.0f / rng : 0.0f;
+        row_min[r] = mn;
+        row_scale[r] = rng / 15.0f;
+        uint8_t* out = packed + r * half;
+        for (long j = 0; j < half; ++j) {
+            int q0 = (int)rintf((row[2 * j] - mn) * inv);
+            int q1 = (int)rintf((row[2 * j + 1] - mn) * inv);
+            q0 = q0 > 15 ? 15 : q0;
+            q1 = q1 > 15 ? 15 : q1;
+            out[j] = (uint8_t)((q0 << 4) | q1);
+        }
+    }
 }
 
 }  // extern "C"

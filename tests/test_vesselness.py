@@ -136,3 +136,46 @@ def test_streamed_matches_chunked_on_quantized_field():
     v_chk = frangi_vesselness_chunked(deq, sigmas=(1.0, 2.0), chunk_z=16)
     np.testing.assert_allclose(np.asarray(v_str), np.asarray(v_chk),
                                atol=1e-5)
+
+
+def test_streamed_bq4_matches_chunked_on_quantized_field():
+    """bits=4 (row-adaptive nibble wire) == chunked path on the same
+    dequantized field; also pins the native pack == numpy pack."""
+    import jax.numpy as jnp
+
+    from arterynetwork_tpu.ops.vesselness import (
+        frangi_vesselness_chunked, frangi_vesselness_streamed)
+
+    rng = np.random.default_rng(7)
+    raw = rng.normal(100.0, 5.0, (40, 48, 52)).astype(np.float32)
+    raw[18:22, 20:24, :] += 60.0
+
+    v_str, t_up, t_comp = frangi_vesselness_streamed(
+        raw, sigmas=(1.0, 2.0), chunk_z=16, bits=4)
+
+    # same row-adaptive dequantization, device chunked path
+    rmn = raw.min(axis=2)
+    rg = raw.max(axis=2) - rmn
+    inv = np.where(rg > 0, 15.0 / np.maximum(rg, 1e-30), 0.0)
+    q = np.round((raw - rmn[..., None]) * inv[..., None])
+    deq = q * (rg / 15.0)[..., None] + rmn[..., None]
+    v_chk = frangi_vesselness_chunked(jnp.asarray(deq.astype(np.float32)),
+                                      sigmas=(1.0, 2.0), chunk_z=16)
+    np.testing.assert_allclose(np.asarray(v_str), np.asarray(v_chk),
+                               atol=1e-5)
+
+
+def test_bq4_native_pack_matches_numpy():
+    from arterynetwork_tpu.ops.native import bq4_pack_native
+
+    rng = np.random.default_rng(11)
+    sl = rng.normal(100.0, 4.0, (8, 24, 64)).astype(np.float32)
+    sl[2, 3, :] = 7.25  # constant row: scale 0, exact min
+    packed, rsc, rmn = bq4_pack_native(sl)
+    ref_mn = sl.min(axis=2)
+    ref_rg = sl.max(axis=2) - ref_mn
+    inv = np.where(ref_rg > 0, 15.0 / np.maximum(ref_rg, 1e-30), 0.0)
+    q = np.round((sl - ref_mn[..., None]) * inv[..., None]).astype(np.uint8)
+    assert np.array_equal(packed, (q[..., 0::2] << 4) | q[..., 1::2])
+    assert np.array_equal(rsc, (ref_rg / 15.0).astype(np.float32))
+    assert np.array_equal(rmn, ref_mn)
