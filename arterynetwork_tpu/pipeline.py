@@ -209,7 +209,7 @@ def vesselness_stage(raw_volume, config: Optional[PipelineConfig] = None,
 
 def generate_vessel_mask(vesselness, brain_mask=None,
                          config: Optional[PipelineConfig] = None,
-                         store=None, affine=None):
+                         store=None, affine=None, timings=None):
     """Vesselness-filtered volume -> binary vessel mask (C2).
 
     Reference semantics (generateVesselVolume.py:186-199): zero voxels
@@ -251,10 +251,17 @@ def generate_vessel_mask(vesselness, brain_mask=None,
         # reused full-frame scratch — no host-side unpack/copy chain)
         wp_d = pack_mask(weak_d)
         sp_d = pack_mask(strong_ds)
+        t0 = time.perf_counter()
+        wp, sp = np.asarray(wp_d), np.asarray(sp_d)
+        if timings is not None:  # threshold compute + packed-mask wire
+            timings.add("segmentation_download", time.perf_counter() - t0)
+        t0 = time.perf_counter()
         mask = hysteresis_components_ds2_packed_native(
-            np.asarray(wp_d), weak_d.shape, np.asarray(sp_d),
+            wp, weak_d.shape, sp,
             min_size=cfg.min_component_size,
             out=_mask_scratch(weak_d.shape))
+        if timings is not None:
+            timings.add("segmentation_flood", time.perf_counter() - t0)
     else:
         if brain_mask is not None:
             brain = jnp.asarray(np.asarray(brain_mask))
@@ -503,7 +510,8 @@ def run_pipeline(vesselness=None, brain_mask=None, seed_mask=None,
         mask, _ = refine_mask_region_grow(vesselness, seed_mask, config)
     else:
         mask = generate_vessel_mask(vesselness, brain_mask, config,
-                                    store=store, affine=affine)
+                                    store=store, affine=affine,
+                                    timings=timings)
     timings.add("segmentation", time.perf_counter() - t0)
 
     backend = config.skeleton.backend

@@ -450,7 +450,7 @@ def bench_speck_pipeline():
     raw = phantom_raw_volume(phantom)
     cfg = PipelineConfig()
     cfg.vesselness.sigmas = (1.0, 2.0, 3.0)
-    cfg.vesselness.upload_format = "bq4"
+    cfg.vesselness.upload_format = "bq4"  # fidelity-verified vs u8
     cfg.segmentation.global_threshold_fraction = 0.3
     cfg.segmentation.weak_threshold_fraction = 0.03
     cfg.segmentation.border_margin_voxels = 6
