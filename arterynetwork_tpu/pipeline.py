@@ -243,16 +243,16 @@ def generate_vessel_mask(vesselness, brain_mask=None,
                 v, cfg.weak_threshold_fraction,
                 cfg.global_threshold_fraction, margin)
         from .ops.native import hysteresis_components_ds2_packed_native
-        from .utils.transfer import pack_mask
+        from .utils.transfer import sparse_mask_to_host_packed
 
-        # enqueue both packs before either download so the device works
-        # while the first transfer drains the wire; the packed bytes feed
-        # the native selection directly (one LUT unpack in C++ into a
-        # reused full-frame scratch — no host-side unpack/copy chain)
-        wp_d = pack_mask(weak_d)
-        sp_d = pack_mask(strong_ds)
+        # both masks cross as occupied 8x8x16-voxel blocks only (the
+        # weak mask is ~7% block-occupied: ~8-10x less wire than the
+        # dense packed download); the packed bytes feed the native
+        # selection directly (one LUT unpack in C++ into a reused
+        # full-frame scratch — no host-side unpack/copy chain)
         t0 = time.perf_counter()
-        wp, sp = np.asarray(wp_d), np.asarray(sp_d)
+        wp = sparse_mask_to_host_packed(weak_d)
+        sp = sparse_mask_to_host_packed(strong_ds)
         if timings is not None:  # threshold compute + packed-mask wire
             timings.add("segmentation_download", time.perf_counter() - t0)
         t0 = time.perf_counter()

@@ -8,6 +8,8 @@ On a directly-attached TPU these are still free wins.
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -35,6 +37,86 @@ def mask_to_host(mask_device) -> np.ndarray:
     host = np.unpackbits(np.asarray(pack_mask(mask_device)))
     n = int(np.prod(mask_device.shape))
     return host[:n].reshape(mask_device.shape).astype(bool)
+
+
+@functools.partial(jax.jit, static_argnames=("bz", "by", "bxb"))
+def _pack_blockify(mask, bz, by, bxb):
+    """Pack a bool volume to x-octet bytes, tile into (bz, by, bxb)-byte
+    blocks, and compute per-block occupancy.
+
+    Returns ``(blocks (Nb, bz*by*bxb) u8, occ_packed u8)``.  Requires
+    X % 8 == 0 so the per-row byte layout equals flat np.packbits order.
+    """
+    Z, Y, X = mask.shape
+    bits = mask.astype(jnp.uint8).reshape(Z, Y, X // 8, 8)
+    weights = jnp.asarray([128, 64, 32, 16, 8, 4, 2, 1], jnp.uint8)
+    packed = jnp.sum(bits * weights, axis=3, dtype=jnp.uint8)
+    XB = X // 8
+    zp, yp, xp = (-Z) % bz, (-Y) % by, (-XB) % bxb
+    packed = jnp.pad(packed, ((0, zp), (0, yp), (0, xp)))
+    Zb, Yb, Xb = (Z + zp) // bz, (Y + yp) // by, (XB + xp) // bxb
+    blocks = packed.reshape(Zb, bz, Yb, by, Xb, bxb) \
+        .transpose(0, 2, 4, 1, 3, 5).reshape(Zb * Yb * Xb, bz * by * bxb)
+    occ = jnp.any(blocks != 0, axis=1)
+    return blocks, _pack_bits(occ)
+
+
+@jax.jit
+def _extract_blocks(blocks, idx):
+    """Rows of ``blocks`` at ``idx`` — a lax.scan of dynamic slices, NOT
+    a gather (per-element gathers run at ~8 us/element on this TPU)."""
+    def body(_, i):
+        return 0, jax.lax.dynamic_slice_in_dim(blocks, i, 1, axis=0)[0]
+    _, out = jax.lax.scan(body, 0, idx)
+    return out
+
+
+_SPARSE_SCRATCH = {}
+
+
+def sparse_mask_to_host_packed(mask_device, block=(8, 8, 2),
+                               max_occupancy=0.5) -> np.ndarray:
+    """bool device array -> flat packed-bit uint8 host array (np.packbits
+    order), moving only the occupied blocks over the wire.
+
+    Vessel masks are block-sparse (~7% of 8x8x16-voxel blocks occupied at
+    typical weak-mask densities), so downloading a per-block occupancy
+    bitmap (1 bit/block) plus the occupied 128-byte block payloads cuts
+    the mask wire ~8-10x vs the dense packed download.  Extraction is a
+    scan of dynamic slices (no gather).  Falls back to the dense path
+    when X % 8 != 0 or measured occupancy exceeds ``max_occupancy``.
+    Payload slots are bucketed to powers of two to bound recompiles.
+    """
+    Z, Y, X = mask_device.shape
+    if X % 8:
+        return np.asarray(pack_mask(mask_device))
+    bz, by, bxb = block
+    blocks, occp = _pack_blockify(mask_device, bz, by, bxb)
+    Nb, B = blocks.shape
+    occ = np.unpackbits(np.asarray(occp))[:Nb] != 0
+    idx = np.flatnonzero(occ)
+    if idx.size > max_occupancy * Nb:
+        return np.asarray(pack_mask(mask_device))
+    cap = 1 << max(9, int(np.ceil(np.log2(max(idx.size, 1)))))
+    cap = min(cap, Nb)
+    idxp = np.zeros(cap, np.int32)
+    idxp[:idx.size] = idx
+    payload = np.asarray(_extract_blocks(blocks, jnp.asarray(idxp)))
+
+    XB = X // 8
+    Zb, Yb, Xb = -(-Z // bz), -(-Y // by), -(-XB // bxb)
+    key = (Zb, Yb, Xb, bz, by, bxb)
+    buf = _SPARSE_SCRATCH.get(key)
+    if buf is None or buf[0].shape[0] != Nb:
+        buf = (np.zeros((Nb, B), np.uint8),
+               np.empty((Zb * bz, Yb * by, Xb * bxb), np.uint8))
+        _SPARSE_SCRATCH[key] = buf
+    flatb, vol = buf
+    flatb[idx] = payload[:idx.size]
+    np.copyto(vol, flatb.reshape(Zb, Yb, Xb, bz, by, bxb)
+              .transpose(0, 3, 1, 4, 2, 5).reshape(vol.shape))
+    flatb[idx] = 0  # keep the scratch all-zero for the next call
+    return np.ascontiguousarray(vol[:Z, :Y, :XB]).reshape(-1)
 
 
 def f16_to_host(x_device) -> np.ndarray:

@@ -51,3 +51,27 @@ def test_transfer_helpers_round_trip():
     x = jnp.asarray(rng.random((5, 6)).astype(np.float32) * 30)
     back = f16_to_host(x)
     np.testing.assert_allclose(back, np.asarray(x), rtol=1e-3)
+
+
+def test_sparse_mask_download_matches_dense():
+    from arterynetwork_tpu.utils.transfer import (pack_mask,
+                                                  sparse_mask_to_host_packed)
+
+    rng = np.random.default_rng(1)
+    # block-sparse mask, shape not a multiple of the block dims
+    m = np.zeros((21, 37, 48), bool)
+    m[3:6, 10:14, 8:24] = True
+    m[17:20, 30:36, 40:48] = rng.random((3, 6, 8)) > 0.4
+    dm = jnp.asarray(m)
+    np.testing.assert_array_equal(sparse_mask_to_host_packed(dm),
+                                  np.asarray(pack_mask(dm)))
+    # second call reuses the zeroed scratch: result must be identical
+    np.testing.assert_array_equal(sparse_mask_to_host_packed(dm),
+                                  np.asarray(pack_mask(dm)))
+    # dense fallback paths: X % 8 != 0, and occupancy above the cutoff
+    modd = jnp.asarray(m[:, :, :45])
+    np.testing.assert_array_equal(sparse_mask_to_host_packed(modd),
+                                  np.asarray(pack_mask(modd)))
+    full = jnp.asarray(rng.random((12, 9, 16)) > 0.3)
+    np.testing.assert_array_equal(sparse_mask_to_host_packed(full),
+                                  np.asarray(pack_mask(full)))
