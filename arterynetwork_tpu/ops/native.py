@@ -112,6 +112,12 @@ def get_lib():
         ctypes.POINTER(ctypes.c_float),
         ctypes.POINTER(ctypes.c_float),
     ]
+    lib.ensure_simple_lut.restype = ctypes.c_int
+    lib.ensure_simple_lut.argtypes = [ctypes.c_char_p]
+    # one 8 MiB bit table answers the simple-point test in a load
+    # (generated once, ~seconds; later processes mmap-read the cache)
+    lib.ensure_simple_lut(
+        os.path.join(_NATIVE_DIR, "simple26.lut").encode())
     _lib = lib
     return lib
 

@@ -11,7 +11,9 @@
 // Build: g++ -O3 -shared -fPIC thinning.cpp -o libthinning.so
 
 #include <cstdint>
+#include <cstdio>
 #include <cstring>
+#include <string>
 #include <vector>
 #include <queue>
 #include <cmath>
@@ -49,6 +51,7 @@ static uint32_t ADJ26_MASK[26];
 static uint32_t ADJ6_MASK[18];
 static int POS18[26];        // 26-index -> 18-index or -1
 static uint32_t FACE_MASK18;  // face-neighbor bits in 18-space
+static uint32_t FACE_MASK26;  // face-neighbor bits in 26-space
 
 static void init_tables() {
     if (off_init) return;
@@ -103,6 +106,11 @@ static void init_tables() {
     for (int a = 0; a < 18; ++a) POS18[N18[a]] = a;
     FACE_MASK18 = 0;
     for (int f = 0; f < 6; ++f) FACE_MASK18 |= 1u << FACE18[f];
+    FACE_MASK26 = 0;
+    for (int i = 0; i < 26; ++i)
+        if (std::abs(OFF[i][0]) + std::abs(OFF[i][1])
+            + std::abs(OFF[i][2]) == 1)
+            FACE_MASK26 |= 1u << i;
     off_init = true;
 }
 
@@ -147,36 +155,92 @@ static inline bool is_simple_mask(uint32_t m26, uint32_t m18,
 static long FOFF[26];
 static int foff_ny = -1, foff_nx = -1;
 
-// T26 == 1 and T6 == 1 for the 26-bit neighborhood of (z,y,x)
-static bool is_simple(const Vol& v, int z, int y, int x, int* fg_count) {
-    uint32_t m26 = 0, m18 = 0;
+static inline void ensure_foff(const Vol& v) {
+    if (foff_ny != v.ny || foff_nx != v.nx) {
+        for (int k = 0; k < 26; ++k)
+            FOFF[k] = (static_cast<long>(OFF[k][0]) * v.ny
+                       + OFF[k][1]) * v.nx + OFF[k][2];
+        foff_ny = v.ny;
+        foff_nx = v.nx;
+    }
+}
+
+// 26-bit foreground mask of the neighborhood of (z,y,x), cube-scan order
+static inline uint32_t gather26(const Vol& v, int z, int y, int x) {
+    uint32_t m26 = 0;
     if (z > 0 && y > 0 && x > 0
         && z < v.nz - 1 && y < v.ny - 1 && x < v.nx - 1) {
-        if (foff_ny != v.ny || foff_nx != v.nx) {
-            for (int k = 0; k < 26; ++k)
-                FOFF[k] = (static_cast<long>(OFF[k][0]) * v.ny
-                           + OFF[k][1]) * v.nx + OFF[k][2];
-            foff_ny = v.ny;
-            foff_nx = v.nx;
-        }
+        ensure_foff(v);
         const uint8_t* c = v.d + v.idx(z, y, x);
-        for (int k = 0; k < 26; ++k) {
-            if (c[FOFF[k]]) {
-                m26 |= 1u << k;
-                int p = POS18[k];
-                if (p >= 0) m18 |= 1u << p;
-            }
-        }
+        for (int k = 0; k < 26; ++k)
+            if (c[FOFF[k]]) m26 |= 1u << k;
     } else {
-        for (int k = 0; k < 26; ++k) {
-            if (v.at(z + OFF[k][0], y + OFF[k][1], x + OFF[k][2])) {
+        for (int k = 0; k < 26; ++k)
+            if (v.at(z + OFF[k][0], y + OFF[k][1], x + OFF[k][2]))
                 m26 |= 1u << k;
-                int p = POS18[k];
-                if (p >= 0) m18 |= 1u << p;
+    }
+    return m26;
+}
+
+// T26 == 1 and T6 == 1 for the 26-bit neighborhood of (z,y,x)
+static bool is_simple(const Vol& v, int z, int y, int x, int* fg_count) {
+    uint32_t m26 = gather26(v, z, y, x);
+    uint32_t m18 = 0;
+    for (int a = 0; a < 18; ++a)
+        if ((m26 >> N18[a]) & 1u) m18 |= 1u << a;
+    return is_simple_mask(m26, m18, fg_count);
+}
+
+// --- simple-point lookup table -----------------------------------------
+//
+// The per-deletion-candidate cost of the worklist thinning is the
+// simple-point test (two in-register flood fills).  A 2^26-bit table
+// (8 MiB) answers it in one load; it is generated once (~seconds) and
+// cached on disk next to the shared library.  The same 26-bit gather
+// also answers the has-background-6-neighbor gate via FACE_MASK26.
+static const uint8_t* SIMPLE_LUT = nullptr;
+static std::vector<uint8_t> lut_store;
+
+int ensure_simple_lut_impl(const char* cache_path) {
+    init_tables();
+    if (SIMPLE_LUT) return 1;
+    const size_t bytes = (1u << 26) / 8;
+    lut_store.assign(bytes, 0);
+    if (cache_path && *cache_path) {
+        FILE* f = std::fopen(cache_path, "rb");
+        if (f) {
+            size_t got = std::fread(lut_store.data(), 1, bytes, f);
+            std::fclose(f);
+            if (got == bytes) {
+                SIMPLE_LUT = lut_store.data();
+                return 1;
             }
+            std::fill(lut_store.begin(), lut_store.end(), 0);
         }
     }
-    return is_simple_mask(m26, m18, fg_count);
+    for (uint32_t code = 0; code < (1u << 26); ++code) {
+        uint32_t m18 = 0;
+        for (int a = 0; a < 18; ++a)
+            if ((code >> N18[a]) & 1u) m18 |= 1u << a;
+        int fg;
+        if (is_simple_mask(code, m18, &fg))
+            lut_store[code >> 3] |=
+                static_cast<uint8_t>(1u << (code & 7));
+    }
+    if (cache_path && *cache_path) {
+        std::string tmp = std::string(cache_path) + ".tmp";
+        FILE* w = std::fopen(tmp.c_str(), "wb");
+        if (w) {
+            size_t put = std::fwrite(lut_store.data(), 1, bytes, w);
+            std::fclose(w);
+            if (put == bytes)
+                std::rename(tmp.c_str(), cache_path);
+            else
+                std::remove(tmp.c_str());
+        }
+    }
+    SIMPLE_LUT = lut_store.data();
+    return 2;
 }
 
 static bool has_bg6(const Vol& v, int z, int y, int x) {
@@ -275,10 +339,21 @@ long thin_volume(uint8_t* vol, int nz, int ny, int nx,
         long i = v.idx(z, y, x);
         if (!vol[i]) return false;
         if (dist2 && dist2[i] > lvl2) return false;
-        if (!has_bg6(v, z, y, x)) return false;
-        int nfg;
-        if (!is_simple(v, z, y, x, &nfg)) return false;
-        if (preserve_endpoints && nfg <= 1) return false;
+        if (SIMPLE_LUT) {
+            // one 26-bit gather answers the bg-6-neighbor gate, the
+            // endpoint gate and (via the table) the simple-point test
+            uint32_t m26 = gather26(v, z, y, x);
+            if ((m26 & FACE_MASK26) == FACE_MASK26) return false;
+            if (preserve_endpoints && __builtin_popcount(m26) <= 1)
+                return false;
+            if (!((SIMPLE_LUT[m26 >> 3] >> (m26 & 7)) & 1u))
+                return false;
+        } else {
+            if (!has_bg6(v, z, y, x)) return false;
+            int nfg;
+            if (!is_simple(v, z, y, x, &nfg)) return false;
+            if (preserve_endpoints && nfg <= 1) return false;
+        }
         vol[i] = 0;  // sequential deletion: always safe
         ++deleted_total;
         return true;
@@ -351,6 +426,12 @@ long thin_volume(uint8_t* vol, int nz, int ny, int nx,
         for (; i < n; ++i) vol[i] &= 1;
     }
     return deleted_total;
+}
+
+// Build (or load from cache_path) the 2^26-bit simple-point table used
+// by thin_volume.  Returns 1 if loaded from cache, 2 if generated.
+int ensure_simple_lut(const char* cache_path) {
+    return ensure_simple_lut_impl(cache_path);
 }
 
 // Standalone simple-point oracle for tests: neighborhood as 26 bits.
