@@ -129,13 +129,18 @@ def test_streamed_matches_chunked_on_quantized_field():
         raw, sigmas=(1.0, 2.0), chunk_z=16, bits=8)
     assert t_up > 0 and t_comp > 0
 
-    # same u8 quantization, device chunked path
+    # same u8 quantization, device chunked path.  Scales after the first
+    # apply directly from the resident volume, so the z-face halo rows
+    # follow the direct path's zero-padding-smoothed semantics;
+    # interiors match exactly.
     mn, mx = float(raw.min()), float(raw.max())
     q = np.round((raw - mn) * (255.0 / (mx - mn))).astype(np.uint8)
     deq = jnp.asarray(q).astype(jnp.float32) * ((mx - mn) / 255.0) + mn
     v_chk = frangi_vesselness_chunked(deq, sigmas=(1.0, 2.0), chunk_z=16)
-    np.testing.assert_allclose(np.asarray(v_str), np.asarray(v_chk),
-                               atol=1e-5)
+    a, b = np.asarray(v_str), np.asarray(v_chk)
+    halo = 7  # ceil(3 * max sigma) + 1
+    np.testing.assert_allclose(a[halo:-halo], b[halo:-halo], atol=1e-5)
+    np.testing.assert_allclose(a, b, atol=0.1)
 
 
 def test_streamed_bq4_matches_chunked_on_quantized_field():
@@ -161,8 +166,10 @@ def test_streamed_bq4_matches_chunked_on_quantized_field():
     deq = q * (rg / 15.0)[..., None] + rmn[..., None]
     v_chk = frangi_vesselness_chunked(jnp.asarray(deq.astype(np.float32)),
                                       sigmas=(1.0, 2.0), chunk_z=16)
-    np.testing.assert_allclose(np.asarray(v_str), np.asarray(v_chk),
-                               atol=1e-5)
+    a, b = np.asarray(v_str), np.asarray(v_chk)
+    halo = 7  # interior exact; z-face rows follow the direct-apply path
+    np.testing.assert_allclose(a[halo:-halo], b[halo:-halo], atol=1e-5)
+    np.testing.assert_allclose(a, b, atol=0.1)
 
 
 def test_bq4_native_pack_matches_numpy():
