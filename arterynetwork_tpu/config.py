@@ -26,9 +26,14 @@ class VesselnessConfig:
     bright: bool = True
     # raw-volume wire format to the accelerator: "u12" (packed 12-bit
     # fixed point, full MRA acquisition precision at 1.5 B/voxel),
-    # "u8", "bq4" (row-adaptive 4-bit: per-(z,y)-row min/scale sideband,
-    # 0.5 B/voxel — quantization step = row range/15, below image noise
-    # on MRA-like data), or "f16" (utils/transfer.upload_quantized)
+    # "u8", "bq4"/"bq3"/"bq2" (row-adaptive 4/3/2-bit: per-(z,y)-row
+    # min/scale sideband at 0.5/0.375/0.25 B/voxel — a row's
+    # quantization step is its own range/(2^bits-1), so flat rows are
+    # near-exact; bq4's step stays below image noise on MRA-like data,
+    # and on the bench phantom even bq2 measures fidelity-neutral
+    # across seeds because the Frangi smoothing absorbs it — verify on
+    # your own acquisitions before dropping below bq4), or "f16"
+    # (utils/transfer.upload_quantized)
     upload_format: str = "u12"
 
 

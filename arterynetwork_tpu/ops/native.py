@@ -104,10 +104,10 @@ def get_lib():
         ctypes.POINTER(ctypes.c_int64),
         ctypes.c_long,
     ]
-    lib.bq4_pack_f32.restype = None
-    lib.bq4_pack_f32.argtypes = [
+    lib.bqn_pack_f32.restype = None
+    lib.bqn_pack_f32.argtypes = [
         ctypes.POINTER(ctypes.c_float),
-        ctypes.c_long, ctypes.c_long,
+        ctypes.c_long, ctypes.c_long, ctypes.c_int,
         ctypes.POINTER(ctypes.c_uint8),
         ctypes.POINTER(ctypes.c_float),
         ctypes.POINTER(ctypes.c_float),
@@ -403,25 +403,33 @@ def simple_point_native(code: int) -> bool:
     return bool(get_lib().simple_point_code(ctypes.c_uint32(code)))
 
 
-def bq4_pack_native(slab: np.ndarray):
-    """Row-adaptive 4-bit quantize + nibble pack of a float32 slab
-    (rows, ny, nx) for the "bq4" upload format — one pass over memory
-    (each x-row's second read comes from L1).  Returns
-    ``(packed u8 (rows, ny, nx//2), row_scale f32, row_min f32)``,
-    bit-exact with the numpy fallback in ``ops/vesselness.py``.
-    ``nx`` must be even and the slab C-contiguous float32.
+def bq_pack_native(slab: np.ndarray, bits: int = 4):
+    """Row-adaptive low-bit quantize + pack of a float32 slab
+    (rows, ny, nx) for the "bq4"/"bq3"/"bq2" upload formats — one pass
+    over memory (each x-row's second read comes from L1).  Returns
+    ``(packed u8 (rows, ny, nx*bits//8), row_scale f32, row_min f32)``,
+    bit-exact with the numpy fallbacks in ``ops/vesselness.py``.
+    ``nx`` must be a multiple of 8//gcd(bits,8) (2/8/4 for bits 4/3/2)
+    and the slab C-contiguous float32.
     """
+    need = {4: 2, 3: 8, 2: 4}[bits]
     if slab.dtype != np.float32 or not slab.flags['C_CONTIGUOUS'] \
-            or slab.shape[-1] % 2:
-        raise ValueError("bq4_pack_native needs contiguous f32, even nx")
+            or slab.shape[-1] % need:
+        raise ValueError("bq_pack_native needs contiguous f32, "
+                         f"nx % {need} == 0")
     rows, ny, nx = slab.shape
-    packed = np.empty((rows, ny, nx // 2), np.uint8)
+    packed = np.empty((rows, ny, nx * bits // 8), np.uint8)
     row_scale = np.empty((rows, ny), np.float32)
     row_min = np.empty((rows, ny), np.float32)
-    get_lib().bq4_pack_f32(
+    get_lib().bqn_pack_f32(
         slab.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
-        rows * ny, nx,
+        rows * ny, nx, bits,
         packed.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
         row_scale.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
         row_min.ctypes.data_as(ctypes.POINTER(ctypes.c_float)))
     return packed, row_scale, row_min
+
+
+def bq4_pack_native(slab: np.ndarray):
+    """Row-adaptive 4-bit pack (see ``bq_pack_native``)."""
+    return bq_pack_native(slab, bits=4)

@@ -395,6 +395,28 @@ def _upload_slab_bq4(volp, packed, row_scale, row_min, start):
 
 
 @functools.partial(jax.jit, donate_argnums=(0,))
+def _upload_slab_bq3(volp, packed, row_scale, row_min, start):
+    """Unpack one row-adaptive 3-bit slab (8 voxels per 3 bytes,
+    MSB-first 24-bit words) into volp."""
+    b = packed.reshape(packed.shape[:2] + (-1, 3)).astype(jnp.int32)
+    w = (b[..., 0] << 16) | (b[..., 1] << 8) | b[..., 2]
+    vs = [((w >> (21 - 3 * k)) & 7).astype(jnp.float32) for k in range(8)]
+    q = jnp.stack(vs, axis=-1).reshape(packed.shape[:2] + (-1,))
+    sl = q * row_scale[..., None] + row_min[..., None]
+    return jax.lax.dynamic_update_slice_in_dim(volp, sl, start, axis=0)
+
+
+@functools.partial(jax.jit, donate_argnums=(0,))
+def _upload_slab_bq2(volp, packed, row_scale, row_min, start):
+    """Unpack one row-adaptive 2-bit slab (4 voxels per byte,
+    MSB-first) into volp."""
+    vs = [((packed >> s) & 3).astype(jnp.float32) for s in (6, 4, 2, 0)]
+    q = jnp.stack(vs, axis=-1).reshape(packed.shape[:2] + (-1,))
+    sl = q * row_scale[..., None] + row_min[..., None]
+    return jax.lax.dynamic_update_slice_in_dim(volp, sl, start, axis=0)
+
+
+@functools.partial(jax.jit, donate_argnums=(0,))
 def _upload_slab_f16(volp, slab_f16, start):
     return jax.lax.dynamic_update_slice_in_dim(
         volp, slab_f16.astype(jnp.float32), start, axis=0)
@@ -442,8 +464,8 @@ def frangi_vesselness_streamed(raw, sigmas=(1.0, 2.0, 3.0),
     n_chunks = -(-Z // chunk_z)
     Zp = n_chunks * chunk_z
 
-    if bits == 4 and raw.shape[2] % 2:
-        bits = 8  # nibble pairing needs an even x extent
+    if bits in (2, 3, 4) and raw.shape[2] % {4: 2, 3: 8, 2: 4}[bits]:
+        bits = 8  # sub-byte packing needs an aligned x extent
     mn = float(raw.min())
     scale = (float(raw.max()) - mn) or 1.0
 
@@ -455,29 +477,46 @@ def frangi_vesselness_streamed(raw, sigmas=(1.0, 2.0, 3.0),
         hi = min(Z, lo + chunk_z)
         rows = hi - lo
         sl = raw[lo:hi]
-        if bits == 4:
-            # row-adaptive 4-bit: per-(z,y)-row min/scale sideband.
+        if bits in (2, 3, 4):
+            # row-adaptive low-bit: per-(z,y)-row min/scale sideband.
             # Native single-pass pack when the C library is available
             # (row min/max scan + L1-resident quantize ~4x the numpy
             # passes on this 1-core VM), bit-exact numpy fallback else.
             slf = sl if sl.dtype == np.float32 \
                 else sl.astype(np.float32)
             try:
-                from .native import bq4_pack_native
-                packed, rsc, rmn = bq4_pack_native(
-                    np.ascontiguousarray(slf))
+                from .native import bq_pack_native
+                packed, rsc, rmn = bq_pack_native(
+                    np.ascontiguousarray(slf), bits)
             except Exception:  # no toolchain: numpy passes
+                qmax = (1 << bits) - 1
                 rmn = slf.min(axis=2)
                 rng = slf.max(axis=2) - rmn
-                inv = np.where(rng > 0, 15.0 / np.maximum(rng, 1e-30),
+                inv = np.where(rng > 0,
+                               float(qmax) / np.maximum(rng, 1e-30),
                                0.0)
                 q = np.round((slf - rmn[..., None])
-                             * inv[..., None]).astype(np.uint8)
-                packed = (q[..., 0::2] << 4) | q[..., 1::2]
-                rsc = rng / 15.0
-            return _upload_slab_bq4(volp, jnp.asarray(packed),
-                                    jnp.asarray(rsc),
-                                    jnp.asarray(rmn), lo + halo)
+                             * inv[..., None]).astype(np.uint32)
+                if bits == 4:
+                    packed = ((q[..., 0::2] << 4)
+                              | q[..., 1::2]).astype(np.uint8)
+                elif bits == 2:
+                    packed = ((q[..., 0::4] << 6) | (q[..., 1::4] << 4)
+                              | (q[..., 2::4] << 2)
+                              | q[..., 3::4]).astype(np.uint8)
+                else:  # 3-bit: 8 voxels -> one 24-bit MSB-first word
+                    g = q.reshape(q.shape[:2] + (-1, 8))
+                    w = np.zeros(g.shape[:3], np.uint32)
+                    for k in range(8):
+                        w |= g[..., k] << (21 - 3 * k)
+                    packed = np.stack([(w >> 16) & 0xFF, (w >> 8) & 0xFF,
+                                       w & 0xFF], axis=-1) \
+                        .astype(np.uint8).reshape(q.shape[:2] + (-1,))
+                rsc = rng / float(qmax)
+            up = {4: _upload_slab_bq4, 3: _upload_slab_bq3,
+                  2: _upload_slab_bq2}[bits]
+            return up(volp, jnp.asarray(packed), jnp.asarray(rsc),
+                      jnp.asarray(rmn), lo + halo)
         if bits == 8:
             q = np.round((sl.astype(np.float32) - mn)
                          * (255.0 / scale)).astype(np.uint8)

@@ -193,7 +193,8 @@ def vesselness_stage(raw_volume, config: Optional[PipelineConfig] = None,
     cfg = (config or PipelineConfig()).vesselness
     # raw MRA is ~12-bit, so the default wire format is packed 12-bit
     # fixed point (1.5 B/voxel), dequantized on device
-    bits = {"bq4": 4, "u8": 8, "u12": 12, "f16": 16}[cfg.upload_format]
+    bits = {"bq2": 2, "bq3": 3, "bq4": 4, "u8": 8, "u12": 12,
+            "f16": 16}[cfg.upload_format]
     v, t_up, t_comp = frangi_vesselness_streamed(
         raw_volume, sigmas=tuple(cfg.sigmas),
         alpha=cfg.alpha, beta=cfg.beta, gamma=cfg.gamma,

@@ -208,6 +208,16 @@ long edt3d_sq_masked(const uint8_t* mask, int nz, int ny, int nx,
     for (size_t i = 0; i < n_off; ++i)
         flat[i] = (static_cast<long>(offs[i].dz) * ny + offs[i].dy) * nx
                 + offs[i].dx;
+    // first offset index with d2 >= k: lets a voxel's scan start at a
+    // proven lower bound instead of offset 0
+    std::vector<int32_t> start_at(static_cast<size_t>(r2max) + 2, 0);
+    {
+        size_t i = 0;
+        for (long k = 0; k <= r2max + 1; ++k) {
+            while (i < n_off && offs[i].d2 < k) ++i;
+            start_at[k] = static_cast<int32_t>(i);
+        }
+    }
 
     std::memset(out, 0, sizeof(float) * total);
     long unresolved = 0;
@@ -219,26 +229,50 @@ long edt3d_sq_masked(const uint8_t* mask, int nz, int ny, int nx,
             for (int y = 0; y < ny; ++y) {
                 const bool zy_in = z_in && y >= r_max && y < ny - r_max;
                 const long row = (static_cast<long>(z) * ny + y) * nx;
+                float prev_d2 = 0.0f;  // d2 of the previous fg voxel in x
                 for (int x = 0; x < nx; ++x) {
                     // skip all-zero 8-byte words (~0.6% foreground)
                     if (!(x & 7) && x + 8 <= nx) {
                         uint64_t w;
                         std::memcpy(&w, mask + row + x, 8);
-                        if (!w) { x += 7; continue; }
+                        if (!w) { x += 7; prev_d2 = 0.0f; continue; }
                     }
-                    if (!mask[row + x]) continue;
+                    if (!mask[row + x]) { prev_d2 = 0.0f; continue; }
                     const long p = row + x;
+                    // exact seeded scan: d(v) >= d(neighbor) - 1
+                    // (triangle inequality), so the sorted scan can
+                    // start at (d_nb - 1)^2.  Neighbors: x-1 (this
+                    // walk), y-1 and z-1 (already written into `out`;
+                    // an unwritten 0.0 only weakens the bound).  The
+                    // kLarge sentinel means d_nb > r_max, so clamping
+                    // to r2max keeps the bound valid.  This turns the
+                    // thick-vessel interior cost from O(d^3) probes
+                    // per voxel into O(shell).
+                    float nb = prev_d2;
+                    if (y > 0 && mask[p - nx] && out[p - nx] > nb)
+                        nb = out[p - nx];
+                    if (z > 0 && mask[p - plane] && out[p - plane] > nb)
+                        nb = out[p - plane];
+                    size_t i0 = 0;
+                    if (nb > 4.0f) {
+                        if (nb > static_cast<float>(r2max))
+                            nb = static_cast<float>(r2max);
+                        const float lb2 = nb - 2.0f * std::sqrt(nb);
+                        if (lb2 > 0.0f)
+                            i0 = static_cast<size_t>(
+                                start_at[static_cast<long>(lb2)]);
+                    }
                     float d2 = kLarge;
                     if (zy_in && x >= r_max && x < nx - r_max) {
                         // interior: no bounds checks on the probes
-                        for (size_t i = 0; i < n_off; ++i) {
+                        for (size_t i = i0; i < n_off; ++i) {
                             if (!mask[p + flat[i]]) {
                                 d2 = static_cast<float>(offs[i].d2);
                                 break;
                             }
                         }
                     } else {
-                        for (size_t i = 0; i < n_off; ++i) {
+                        for (size_t i = i0; i < n_off; ++i) {
                             const int z2 = z + offs[i].dz;
                             const int y2 = y + offs[i].dy;
                             const int x2 = x + offs[i].dx;
@@ -251,6 +285,7 @@ long edt3d_sq_masked(const uint8_t* mask, int nz, int ny, int nx,
                         }
                     }
                     out[p] = d2;
+                    prev_d2 = d2;
                     if (d2 >= kLarge) ++unresolved;
                 }
             }
@@ -546,15 +581,17 @@ long nonzero_indices_u8(const uint8_t* vol, long n,
     return count;
 }
 
-// Row-adaptive 4-bit quantize + nibble pack for the vesselness upload
-// stream (ops/vesselness.frangi_vesselness_streamed, format "bq4").
-// One pass over the slab: each x-row (nx floats, L1-resident) is
-// scanned for min/max, then re-read from cache and packed two voxels
-// per byte (high nibble first).  Matches the numpy fallback bit-exactly
-// (rintf == np.round, both round-half-to-even).  nx must be even.
-void bq4_pack_f32(const float* sl, long nrows, long nx,
+// Row-adaptive low-bit quantize + pack for the vesselness upload
+// stream (ops/vesselness.frangi_vesselness_streamed, formats
+// "bq4"/"bq3"/"bq2").  One pass over the slab: each x-row (nx floats,
+// L1-resident) is scanned for min/max, then re-read from cache and
+// packed MSB-first — 2 voxels/byte (bits=4, nx even), 8 voxels/3 bytes
+// (bits=3, nx%8==0), or 4 voxels/byte (bits=2, nx%4==0).  Matches the
+// numpy fallbacks bit-exactly (rintf == np.round, half-to-even).
+void bqn_pack_f32(const float* sl, long nrows, long nx, int bits,
                   uint8_t* packed, float* row_scale, float* row_min) {
-    const long half = nx / 2;
+    const int qmax = (1 << bits) - 1;
+    const long row_bytes = nx * bits / 8;
     #pragma omp parallel for schedule(static)
     for (long r = 0; r < nrows; ++r) {
         const float* row = sl + r * nx;
@@ -565,18 +602,39 @@ void bq4_pack_f32(const float* sl, long nrows, long nx,
             mx = v > mx ? v : mx;
         }
         const float rng = mx - mn;
-        const float inv = rng > 0.0f ? 15.0f / rng : 0.0f;
+        const float inv = rng > 0.0f
+            ? static_cast<float>(qmax) / rng : 0.0f;
         row_min[r] = mn;
-        row_scale[r] = rng / 15.0f;
-        uint8_t* out = packed + r * half;
-        for (long j = 0; j < half; ++j) {
-            int q0 = (int)rintf((row[2 * j] - mn) * inv);
-            int q1 = (int)rintf((row[2 * j + 1] - mn) * inv);
-            q0 = q0 > 15 ? 15 : q0;
-            q1 = q1 > 15 ? 15 : q1;
-            out[j] = (uint8_t)((q0 << 4) | q1);
+        row_scale[r] = rng / static_cast<float>(qmax);
+        uint8_t* out = packed + r * row_bytes;
+        auto q = [&](long i) {
+            int v = (int)rintf((row[i] - mn) * inv);
+            return v > qmax ? qmax : v;
+        };
+        if (bits == 4) {
+            for (long j = 0; j < nx / 2; ++j)
+                out[j] = (uint8_t)((q(2 * j) << 4) | q(2 * j + 1));
+        } else if (bits == 2) {
+            for (long j = 0; j < nx / 4; ++j)
+                out[j] = (uint8_t)((q(4 * j) << 6) | (q(4 * j + 1) << 4)
+                                   | (q(4 * j + 2) << 2) | q(4 * j + 3));
+        } else {  // bits == 3: 8 voxels -> one 24-bit MSB-first word
+            for (long j = 0; j < nx / 8; ++j) {
+                uint32_t w = 0;
+                for (int k = 0; k < 8; ++k)
+                    w |= (uint32_t)q(8 * j + k) << (21 - 3 * k);
+                out[3 * j] = (uint8_t)(w >> 16);
+                out[3 * j + 1] = (uint8_t)(w >> 8);
+                out[3 * j + 2] = (uint8_t)w;
+            }
         }
     }
+}
+
+// Back-compat alias for the original 4-bit entry point.
+void bq4_pack_f32(const float* sl, long nrows, long nx,
+                  uint8_t* packed, float* row_scale, float* row_min) {
+    bqn_pack_f32(sl, nrows, nx, 4, packed, row_scale, row_min);
 }
 
 }  // extern "C"

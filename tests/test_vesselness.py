@@ -186,3 +186,31 @@ def test_bq4_native_pack_matches_numpy():
     assert np.array_equal(packed, (q[..., 0::2] << 4) | q[..., 1::2])
     assert np.array_equal(rsc, (ref_rg / 15.0).astype(np.float32))
     assert np.array_equal(rmn, ref_mn)
+
+
+def test_bq_low_bit_wire_round_trips():
+    """bq3/bq2 native pack -> device unpack recovers the row-quantized
+    field exactly (pack and unpack are exact inverses up to the
+    quantization grid)."""
+    import jax.numpy as jnp
+
+    from arterynetwork_tpu.ops.native import bq_pack_native
+    from arterynetwork_tpu.ops.vesselness import (_upload_slab_bq2,
+                                                  _upload_slab_bq3)
+
+    rng = np.random.default_rng(13)
+    sl = rng.normal(50.0, 10.0, (6, 16, 64)).astype(np.float32)
+    sl[1, 2, :] = -3.5  # constant row
+    for bits, up in ((3, _upload_slab_bq3), (2, _upload_slab_bq2)):
+        qmax = (1 << bits) - 1
+        packed, rsc, rmn = bq_pack_native(sl, bits)
+        ref_mn = sl.min(axis=2)
+        ref_rg = sl.max(axis=2) - ref_mn
+        inv = np.where(ref_rg > 0, qmax / np.maximum(ref_rg, 1e-30), 0.0)
+        q = np.round((sl - ref_mn[..., None]) * inv[..., None])
+        expect = (q * (ref_rg / qmax)[..., None] + ref_mn[..., None])
+        volp = jnp.zeros_like(jnp.asarray(sl))
+        out = np.asarray(up(volp, jnp.asarray(packed), jnp.asarray(rsc),
+                            jnp.asarray(rmn), 0))
+        np.testing.assert_allclose(out, expect.astype(np.float32),
+                                   atol=1e-5)
