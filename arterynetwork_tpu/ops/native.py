@@ -115,9 +115,12 @@ def get_lib():
     lib.ensure_simple_lut.restype = ctypes.c_int
     lib.ensure_simple_lut.argtypes = [ctypes.c_char_p]
     # one 8 MiB bit table answers the simple-point test in a load
-    # (generated once, ~seconds; later processes mmap-read the cache)
-    lib.ensure_simple_lut(
-        os.path.join(_NATIVE_DIR, "simple26.lut").encode())
+    # (generated once, ~seconds; later processes read the disk cache);
+    # env ARTERY_NO_SIMPLE_LUT falls back to the in-register flood
+    # fills (A/B toggle: the table can thrash a small LLC)
+    if not os.environ.get("ARTERY_NO_SIMPLE_LUT"):
+        lib.ensure_simple_lut(
+            os.path.join(_NATIVE_DIR, "simple26.lut").encode())
     _lib = lib
     return lib
 

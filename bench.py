@@ -342,12 +342,18 @@ def bench_pipeline_512():
     # run, and deferred frees of the previous run's device buffers can
     # stall the next upload — collect + sync outside the timed region
     totals = []
+    stage_min = {}
     for _ in range(3):
         gc.collect()
         jax.device_get(jax.numpy.zeros(()))  # drain the device queue
         t0 = time.perf_counter()
         result = run_pipeline(raw_volume=raw, config=cfg)
         totals.append(time.perf_counter() - t0)
+        # per-stage MIN across runs: hypervisor CPU steal on the single
+        # shared core inflates individual host stages 2-3x on a bad
+        # run, and steal/tunnel noise only ever ADDS time
+        for k, v in result["timings"].items():
+            stage_min[k] = min(stage_min.get(k, v), v)
     total = sorted(totals)[1]
     mask_recall = float(result["mask"][phantom["mask"]].astype(bool).mean())
 
@@ -359,7 +365,7 @@ def bench_pipeline_512():
     return {
         "pipeline_512_s": total,
         "pipeline_512_s_best": min(totals),
-        "pipeline_512_timings": result["timings"],
+        "pipeline_512_timings": stage_min,
         "pipeline_512_mask_voxels": int(result["mask"].sum()),
         "pipeline_512_segments": len(result["segments"]),
         "pipeline_512_flow_edges": int(result["network"].num_edges),
@@ -462,17 +468,20 @@ def bench_speck_pipeline():
     cfg.flow.linear_solver = "auto"
     run_pipeline(raw_volume=raw, config=cfg)  # compile
     totals = []
+    stage_min = {}
     for _ in range(2):
         gc.collect()
         jax.device_get(jax.numpy.zeros(()))
         t0 = time.perf_counter()
         result = run_pipeline(raw_volume=raw, config=cfg)
         totals.append(time.perf_counter() - t0)
+        for k, v in result["timings"].items():
+            stage_min[k] = min(stage_min.get(k, v), v)
     fid = tree_recovery_metrics(result["segments"], result["attrs"],
                                 phantom)
     return {
         "speck_pipeline_s": min(totals),
-        "speck_pipeline_timings": result["timings"],
+        "speck_pipeline_timings": stage_min,
         "speck_pipeline_mask_recall": float(
             result["mask"][phantom["mask"]].astype(bool).mean()),
         "speck_pipeline_segments": len(result["segments"]),
