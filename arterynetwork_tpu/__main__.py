@@ -34,6 +34,7 @@ def _cmd_pipeline(args):
     if args.sigmas:
         cfg.vesselness.sigmas = tuple(float(x)
                                       for x in args.sigmas.split(","))
+    cfg.vesselness.upload_format = args.upload_format
     cfg.skeleton.backend = args.skeleton_backend
     store = ArtifactStore(args.out)
     kwargs = {}
@@ -355,6 +356,12 @@ def main(argv=None):
     pp.add_argument("--sigmas", default=None,
                     help="vesselness scales, e.g. 1.0,2.0,3.0 "
                          "(with --raw)")
+    pp.add_argument("--upload-format", default="u12",
+                    choices=("u12", "u8", "bq4", "bq3", "bq2", "f16"),
+                    help="raw-volume wire format (--raw mode): u12 keeps "
+                         "full MRA acquisition precision; bq4/bq3/bq2 are "
+                         "row-adaptive low-bit formats for slow links "
+                         "(verify fidelity on your data below bq4)")
     pp.add_argument("--skeleton-backend", default="auto",
                     choices=("auto", "jax", "native"))
     pp.set_defaults(fn=_cmd_pipeline)
