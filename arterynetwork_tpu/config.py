@@ -83,6 +83,7 @@ class SkeletonConfig:
     #   cycle_tight_ratio   — cut cycles with total length <= ratio *
     #                         max arc radius (intra-vessel meshes); long
     #                         loops (e.g. Circle of Willis) are kept
+    simplify: bool = True       # master switch for the passes below
     collapse_junctions: bool = True
     prune_radius_factor: float = 2.5
     cycle_tight_ratio: float = 16.0

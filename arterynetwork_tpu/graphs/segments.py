@@ -632,6 +632,7 @@ def simplify_chains(chains, n, radius, min_length: int = 3,
 def skeleton_to_segments(skeleton, prune_min_length: int = 0,
                          build_graph: bool = True, origin=(0, 0, 0),
                          distance_transform=None, simplify: bool = False,
+                         collapse: bool = True,
                          radius_factor: float = 2.5,
                          cycle_tight_ratio: float = 16.0,
                          simplify_rounds: int = 3):
@@ -656,6 +657,7 @@ def skeleton_to_segments(skeleton, prune_min_length: int = 0,
                             np.float32).reshape(-1)[uniq]
         chains = simplify_chains(chains, len(uniq), radius,
                                  min_length=max(prune_min_length, 3),
+                                 collapse=collapse,
                                  radius_factor=radius_factor,
                                  cycle_tight_ratio=cycle_tight_ratio,
                                  rounds=simplify_rounds)

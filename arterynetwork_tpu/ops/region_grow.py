@@ -121,6 +121,12 @@ def region_grow(
     if use_fused and isinstance(data, jax.Array):
         use_fused = len(data.devices()) == 1
     if backend == "fused" or use_fused:
+        if backend == "fused" and (excluded_mask is not None
+                                   or num_bins != 256):
+            raise ValueError(
+                "backend='fused' supports neither excluded_mask nor "
+                "num_bins != 256 — use backend='xla' (or 'auto', which "
+                "only picks the fused kernel when both are default)")
         from .region_grow_fused import region_grow_fused
         return region_grow_fused(data, seed_mask, H=H,
                                  max_segment_size=max_segment_size,

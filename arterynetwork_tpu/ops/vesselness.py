@@ -495,8 +495,14 @@ def frangi_vesselness_streamed(raw, sigmas=(1.0, 2.0, 3.0),
 
     if bits in (2, 3, 4) and raw.shape[2] % {4: 2, 3: 8, 2: 4}[bits]:
         bits = 8  # sub-byte packing needs an aligned x extent
-    mn = float(raw.min())
-    scale = (float(raw.max()) - mn) or 1.0
+    if bits in (8, 12):
+        # only the global fixed-point formats need the volume range;
+        # the row-adaptive and f16 paths must not pay two full-volume
+        # host scans (seconds at Speck scale on this 1-core VM)
+        mn = float(raw.min())
+        scale = (float(raw.max()) - mn) or 1.0
+    else:
+        mn, scale = 0.0, 1.0
 
     t0 = _time.perf_counter()
     volp = jnp.zeros((Zp + 2 * halo,) + shape_yx, jnp.float32)

@@ -232,7 +232,15 @@ def generate_vessel_mask(vesselness, brain_mask=None,
 
     if cfg.weak_threshold_fraction is not None:
         # hysteresis: weak floor for connectivity, strong seeds against
-        # noise; component selection is one native seeded flood fill
+        # noise; component selection is one native seeded flood fill.
+        # The ds2 pooled-seed selection is exact only when the strong
+        # mask is a subset of the weak mask, which the threshold
+        # ordering guarantees — reject configs that break it.
+        if cfg.weak_threshold_fraction > cfg.global_threshold_fraction:
+            raise ValueError(
+                "weak_threshold_fraction must be <= "
+                "global_threshold_fraction (strong mask must be a "
+                "subset of the weak mask for hysteresis selection)")
         if brain_mask is not None:
             brain = jnp.asarray(np.asarray(brain_mask))
             weak_d, strong_ds = _threshold_hysteresis_brain(
@@ -243,7 +251,6 @@ def generate_vessel_mask(vesselness, brain_mask=None,
             weak_d, strong_ds = _threshold_hysteresis(
                 v, cfg.weak_threshold_fraction,
                 cfg.global_threshold_fraction, margin)
-        from .ops.native import hysteresis_components_ds2_packed_native
         from .utils.transfer import sparse_mask_to_host_packed
 
         # both masks cross as occupied 8x8x16-voxel blocks only (the
@@ -257,10 +264,33 @@ def generate_vessel_mask(vesselness, brain_mask=None,
         if timings is not None:  # threshold compute + packed-mask wire
             timings.add("segmentation_download", time.perf_counter() - t0)
         t0 = time.perf_counter()
-        mask = hysteresis_components_ds2_packed_native(
-            wp, weak_d.shape, sp,
-            min_size=cfg.min_component_size,
-            out=_mask_scratch(weak_d.shape))
+        try:
+            from .ops.native import hysteresis_components_ds2_packed_native
+            mask = hysteresis_components_ds2_packed_native(
+                wp, weak_d.shape, sp,
+                min_size=cfg.min_component_size,
+                out=_mask_scratch(weak_d.shape))
+        except Exception:  # no g++ toolchain: scipy label fallback
+            from scipy import ndimage
+            shape = weak_d.shape
+            weak = np.unpackbits(wp)[:int(np.prod(shape))] \
+                .reshape(shape).astype(bool)
+            sshape = strong_ds.shape
+            strong = np.unpackbits(sp)[:int(np.prod(sshape))] \
+                .reshape(sshape).astype(bool)
+            for ax in range(3):  # 2x-pooled seeds back to full frame
+                strong = np.repeat(strong, 2, axis=ax)
+            strong = strong[:shape[0], :shape[1], :shape[2]]
+            labels, n = ndimage.label(weak, structure=np.ones((3, 3, 3),
+                                                              bool))
+            keep = np.unique(labels[strong & weak])
+            keep = keep[keep > 0]
+            if cfg.min_component_size and n:
+                counts = np.bincount(labels.reshape(-1))
+                keep = keep[counts[keep] >= cfg.min_component_size]
+            sel = np.zeros(n + 1, bool)
+            sel[keep] = True
+            mask = sel[labels].astype(np.uint8)
         if timings is not None:
             timings.add("segmentation_flood", time.perf_counter() - t0)
     else:
@@ -364,7 +394,8 @@ def graph_stage(skeleton, mask, config=None, store=None,
     _, segments = skeleton_to_segments(
         skeleton, prune_min_length=cfg.prune_min_length, build_graph=False,
         origin=origin, distance_transform=distance_transform,
-        simplify=cfg.collapse_junctions,
+        simplify=cfg.simplify,
+        collapse=cfg.collapse_junctions,
         radius_factor=cfg.prune_radius_factor,
         cycle_tight_ratio=cfg.cycle_tight_ratio,
         simplify_rounds=cfg.simplify_rounds)
@@ -533,6 +564,11 @@ def run_pipeline(vesselness=None, brain_mask=None, seed_mask=None,
         box = bounding_box(vv, margin=2)
         origin = tuple(int(s.start) for s in box)
         mask_box = np.ascontiguousarray(vv[box], np.uint8)
+        if np.shares_memory(mask_box, vv):
+            # a full-extent (or z-only) box keeps vv's own memory, and
+            # the clobbering thinning below would silently turn the
+            # returned mask into the skeleton
+            mask_box = mask_box.copy()
         # the squared transform reuses a module-level scratch buffer: a
         # fresh >100 MB allocation is mmap'd and first-touched on every
         # run on this VM (seconds of page faults at MRA scale)

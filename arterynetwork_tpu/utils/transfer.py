@@ -116,7 +116,13 @@ def sparse_mask_to_host_packed(mask_device, block=(8, 8, 2),
     np.copyto(vol, flatb.reshape(Zb, Yb, Xb, bz, by, bxb)
               .transpose(0, 3, 1, 4, 2, 5).reshape(vol.shape))
     flatb[idx] = 0  # keep the scratch all-zero for the next call
-    return np.ascontiguousarray(vol[:Z, :Y, :XB]).reshape(-1)
+    out = np.ascontiguousarray(vol[:Z, :Y, :XB])
+    if np.shares_memory(out, vol):
+        # unpadded shapes make the crop the whole scratch buffer — the
+        # caller owns the result, so never hand out scratch memory that
+        # the next call would overwrite
+        out = out.copy()
+    return out.reshape(-1)
 
 
 def f16_to_host(x_device) -> np.ndarray:

@@ -201,6 +201,13 @@ static bool is_simple(const Vol& v, int z, int y, int x, int* fg_count) {
 static const uint8_t* SIMPLE_LUT = nullptr;
 static std::vector<uint8_t> lut_store;
 
+// 8-byte magic + format version: a stale or foreign cache file (e.g.
+// from a future change to the neighbor enumeration or bit order) must
+// be rejected, not silently trusted — wrong simple-point answers break
+// skeleton topology with no error anywhere downstream.
+static const char kLutMagic[8] = {'S', 'P', 'L', 'U', 'T', '2', '6',
+                                  '\x01'};
+
 int ensure_simple_lut_impl(const char* cache_path) {
     init_tables();
     if (SIMPLE_LUT) return 1;
@@ -209,9 +216,14 @@ int ensure_simple_lut_impl(const char* cache_path) {
     if (cache_path && *cache_path) {
         FILE* f = std::fopen(cache_path, "rb");
         if (f) {
-            size_t got = std::fread(lut_store.data(), 1, bytes, f);
+            char magic[8] = {0};
+            size_t got_m = std::fread(magic, 1, 8, f);
+            bool ok = got_m == 8
+                && std::memcmp(magic, kLutMagic, 8) == 0
+                && std::fread(lut_store.data(), 1, bytes, f) == bytes
+                && std::fgetc(f) == EOF;  // no trailing junk
             std::fclose(f);
-            if (got == bytes) {
+            if (ok) {
                 SIMPLE_LUT = lut_store.data();
                 return 1;
             }
@@ -231,9 +243,10 @@ int ensure_simple_lut_impl(const char* cache_path) {
         std::string tmp = std::string(cache_path) + ".tmp";
         FILE* w = std::fopen(tmp.c_str(), "wb");
         if (w) {
-            size_t put = std::fwrite(lut_store.data(), 1, bytes, w);
+            size_t put = std::fwrite(kLutMagic, 1, 8, w);
+            put += std::fwrite(lut_store.data(), 1, bytes, w);
             std::fclose(w);
-            if (put == bytes)
+            if (put == bytes + 8)
                 std::rename(tmp.c_str(), cache_path);
             else
                 std::remove(tmp.c_str());

@@ -602,8 +602,12 @@ void bqn_pack_f32(const float* sl, long nrows, long nx, int bits,
             mx = v > mx ? v : mx;
         }
         const float rng = mx - mn;
+        // clamp the denominator exactly like the numpy fallback
+        // (15.0/max(rng, 1e-30)): a subnormal range would overflow inv
+        // to inf and feed NaN into rintf at the min voxel
         const float inv = rng > 0.0f
-            ? static_cast<float>(qmax) / rng : 0.0f;
+            ? static_cast<float>(qmax) / (rng > 1e-30f ? rng : 1e-30f)
+            : 0.0f;
         row_min[r] = mn;
         row_scale[r] = rng / static_cast<float>(qmax);
         uint8_t* out = packed + r * row_bytes;

@@ -82,6 +82,31 @@ def test_full_pipeline_on_phantom(tmp_path):
         "segmentation", "edt", "skeletonization", "graph", "flow"}
 
 
+def test_full_extent_mask_survives_native_thinning():
+    """A mask whose bounding box spans the full volume must come back
+    intact: the box crop is then a view of the mask itself, and the
+    in-place clobbering thinning would otherwise overwrite
+    result['mask'] with the skeleton."""
+    shape = (24, 28, 32)
+    v = np.zeros(shape, np.float32)
+    # three tubes meeting at a corner, each spanning its full axis, so
+    # bounding_box returns the whole volume and the crop is a view
+    v[:, 2:6, 2:6] = 1.0
+    v[2:6, :, 2:6] = 1.0
+    v[2:6, 2:6, :] = 1.0
+    cfg = PipelineConfig()
+    cfg.segmentation.global_threshold_fraction = 0.3
+    cfg.segmentation.weak_threshold_fraction = None
+    cfg.segmentation.border_margin_voxels = 0
+    cfg.segmentation.min_component_size = 1
+    cfg.skeleton.backend = "native"
+    result = run_pipeline(vesselness=v, config=cfg)
+    mask_voxels = int(result["mask"].sum())
+    skel_voxels = int(result["skeleton"].sum())
+    assert mask_voxels == int((v >= 0.3).sum())
+    assert 0 < skel_voxels < mask_voxels
+
+
 def test_pipeline_from_raw_volume(tmp_path):
     """Raw MRA entry point: vesselness computed in-framework (the
     reference requires external 3D Slicer preprocessing here)."""
