@@ -161,7 +161,25 @@ def test_collapse_junction_cluster():
     assert len(junction) == 1 and junction[0] in (0, 1)
 
 
-def test_parallel_arc_dedupe():
+def test_collapse_flag_only_gates_cluster_contraction():
+    """skeleton_to_segments(collapse=False) must still run spur pruning
+    / dedupe / cycle cutting — the flag disables ONLY the junction-
+    cluster contraction (it was once accidentally a master switch)."""
+    from arterynetwork_tpu.graphs.segments import skeleton_to_segments
+
+    skel = np.zeros((8, 24, 24), bool)
+    skel[4, 4:20, 4] = True       # main branch
+    skel[4, 12, 5:8] = True       # 3-voxel terminal twig off its middle
+    dt = np.ones(skel.shape, np.float32)
+    _, segs = skeleton_to_segments(skel, prune_min_length=3,
+                                   build_graph=False,
+                                   distance_transform=dt, simplify=True,
+                                   collapse=False)
+    flat = {tuple(v) for s in segs for v in s}
+    # twig pruned even with collapse off, and the junction it leaves
+    # behind merges the two main halves into one chain
+    assert (4, 12, 7) not in flat
+    assert len(segs) == 1
     """Two short arcs between the same junction pair: the lower-radius
     one is dropped and the junctions merge through."""
     # pair (0, 1) connected by arcs 0-2-1 and 0-3-1; tails 4-0, 1-5
