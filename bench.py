@@ -490,7 +490,44 @@ def bench_speck_pipeline():
     }
 
 
+def _device_alive(timeout_s: float = 240.0) -> bool:
+    """Probe the accelerator with a hard timeout.
+
+    The tunneled backend can go fully dark (daemon dead): every device
+    op then hangs forever, which would eat the whole bench slot.  A tiny
+    device round trip in a daemon thread bounds the wait (first compile
+    of a scalar op is seconds, so 240 s is generous)."""
+    import threading
+
+    ok = []
+
+    def probe():
+        try:
+            import jax
+            import jax.numpy as jnp
+
+            jax.device_get(jnp.zeros(()))
+            ok.append(True)
+        except Exception:
+            pass
+
+    t = threading.Thread(target=probe, daemon=True)
+    t.start()
+    t.join(timeout_s)
+    return bool(ok)
+
+
 def main():
+    if not _device_alive():
+        print(json.dumps({
+            "metric": "region_grow_voxel_sweeps_per_s_512",
+            "value": 0,
+            "unit": "voxel_sweeps/s",
+            "vs_baseline": 0,
+            "error": "accelerator unreachable (device probe timed out; "
+                     "tunnel daemon likely down — benches not run)",
+        }))
+        sys.exit(1)
     detail = {}
     detail.update(bench_pipeline_512())
     detail.update(bench_vesselness())
