@@ -257,6 +257,8 @@ def _cmd_morpho(args):
     store = ArtifactStore(args.dir)
     out_dir = args.out or args.dir
     os.makedirs(out_dir, exist_ok=True)
+    if args.spacing_mm is None:
+        args.spacing_mm = args.spacing * 1000.0
 
     if args.rebuild or not store.exists("segmentInfoDict.pkl"):
         _build_morpho_bundle(store, args.partitions, args.spacing)
@@ -271,9 +273,11 @@ def _cmd_morpho(args):
                                    spacing_factor_mm=args.spacing_mm)
     store.save_pickle("segmentInfoDict.pkl", seg_info)
 
-    stats = statistics_per_partition(G, segments, partition_info,
+    # the normalized dicts, not the raw pickle: reference-style bundles
+    # use camelCase keys that statistics_per_partition does not accept
+    stats = statistics_per_partition(G, segments, parts,
                                      spacing=args.spacing)
-    stats2 = statistics_per_partition2(G, segments, partition_info,
+    stats2 = statistics_per_partition2(G, segments, parts,
                                        spacing=args.spacing)
 
     spacing_mm = args.spacing * 1000
@@ -404,9 +408,11 @@ def main(argv=None):
                          "reference's GUI seed picking")
     pm.add_argument("--spacing", type=float, default=0.0004,
                     help="meters/voxel (graphRelated.py:418)")
-    pm.add_argument("--spacing-mm", type=float, default=0.4,
+    pm.add_argument("--spacing-mm", type=float, default=None,
                     help="voxel->mm factor for curvature/radius figures "
-                         "(graphRelated.py:524)")
+                         "(graphRelated.py:524); defaults to "
+                         "spacing * 1000 so one --spacing keeps every "
+                         "figure on the same physical scale")
     pm.add_argument("--rebuild", action="store_true",
                     help="rebuild info dicts/partition even if present")
     pm.add_argument("--no-figures", action="store_true")

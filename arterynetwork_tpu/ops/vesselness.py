@@ -489,12 +489,15 @@ def frangi_vesselness_streamed(raw, sigmas=(1.0, 2.0, 3.0),
     yx = int(np.prod(shape_yx))
     sigmas = tuple(float(s) for s in sigmas)
     halo = int(np.ceil(3.0 * max(sigmas))) + 1
-    assert chunk_z >= halo, (chunk_z, halo)
+    chunk_z = max(chunk_z, halo)  # very large sigmas grow the slab
     n_chunks = -(-Z // chunk_z)
     Zp = n_chunks * chunk_z
 
-    if bits in (2, 3, 4) and raw.shape[2] % {4: 2, 3: 8, 2: 4}[bits]:
-        bits = 8  # sub-byte packing needs an aligned x extent
+    # sub-byte packing needs an aligned x extent; degrade to the next
+    # finer format that fits instead of silently jumping to u8
+    # (e.g. x=170: bq2 needs %4 -> falls to bq4 at %2, not 8-bit)
+    while bits in (2, 3, 4) and raw.shape[2] % {4: 2, 3: 8, 2: 4}[bits]:
+        bits = {2: 3, 3: 4, 4: 8}[bits]
     if bits in (8, 12):
         # only the global fixed-point formats need the volume range;
         # the row-adaptive and f16 paths must not pay two full-volume

@@ -68,8 +68,13 @@ def mini_pipeline_sharded(raw, mesh=None, axes=("sx", "sy"),
     else:
         skel_sh = mask_sh
 
-    mask = np.asarray(mask_sh)
-    skel = np.asarray(skel_sh)
+    # packed-bit wire for the bool volumes (32x less transfer than
+    # np.asarray of the bool arrays on a tunneled device; free on a
+    # locally-attached mesh)
+    from ..utils.transfer import mask_to_host
+
+    mask = mask_to_host(mask_sh)
+    skel = mask_to_host(skel_sh)
 
     # --- host graph stage ---------------------------------------------
     from ..graphs.branch_attrs import compute_branch_attrs
@@ -80,6 +85,9 @@ def mini_pipeline_sharded(raw, mesh=None, axes=("sx", "sy"),
         mask.shape, np.float32)
     _, segments = skeleton_to_segments(skel, prune_min_length=2,
                                        build_graph=False)
+    # vesselness stays f32 on the wire: the sharded==single-device tests
+    # assert exact equality on it (an f16 wire would be 2x cheaper but
+    # lossy; use utils.transfer.f16_to_host when exactness is not needed)
     result = {"vesselness": np.asarray(v), "mask": mask, "skeleton": skel,
               "segments": segments, "pressure_batch": None,
               "network": None}

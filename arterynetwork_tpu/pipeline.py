@@ -21,6 +21,7 @@ the reference's file names, giving file-granular checkpoint/resume
 from __future__ import annotations
 
 import dataclasses
+import subprocess
 import time
 from typing import Dict, Optional
 
@@ -270,7 +271,9 @@ def generate_vessel_mask(vesselness, brain_mask=None,
                 wp, weak_d.shape, sp,
                 min_size=cfg.min_component_size,
                 out=_mask_scratch(weak_d.shape))
-        except Exception:  # no g++ toolchain: scipy label fallback
+        except (ImportError, OSError, subprocess.CalledProcessError):
+            # no g++ toolchain: scipy label fallback (build/load errors
+            # only — real native-path bugs must not be silently rerouted)
             from scipy import ndimage
             shape = weak_d.shape
             weak = np.unpackbits(wp)[:int(np.prod(shape))] \
@@ -287,7 +290,9 @@ def generate_vessel_mask(vesselness, brain_mask=None,
             keep = keep[keep > 0]
             if cfg.min_component_size and n:
                 counts = np.bincount(labels.reshape(-1))
-                keep = keep[counts[keep] >= cfg.min_component_size]
+                # match the native drop rule exactly: size <= min_size
+                # is dropped (strictly larger survives)
+                keep = keep[counts[keep] > cfg.min_component_size]
             sel = np.zeros(n + 1, bool)
             sel[keep] = True
             mask = sel[labels].astype(np.uint8)

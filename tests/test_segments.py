@@ -180,6 +180,9 @@ def test_collapse_flag_only_gates_cluster_contraction():
     # behind merges the two main halves into one chain
     assert (4, 12, 7) not in flat
     assert len(segs) == 1
+
+
+def test_parallel_arc_dedupe():
     """Two short arcs between the same junction pair: the lower-radius
     one is dropped and the junctions merge through."""
     # pair (0, 1) connected by arcs 0-2-1 and 0-3-1; tails 4-0, 1-5
