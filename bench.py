@@ -314,12 +314,12 @@ def bench_pipeline_512():
 
     cfg = PipelineConfig()
     cfg.vesselness.sigmas = (1.0, 2.0, 3.0)
-    # row-adaptive 2-bit wire (0.25 B/voxel): the tunnel link is the
-    # stage bottleneck; per-row adaptive quantization + Frangi's
-    # Gaussian smoothing make bq2 measure fidelity-equal to u8 on this
-    # phantom across seeds (recall 0.954-0.958, rmse 0.31-0.33) — and
-    # the fidelity metrics below re-verify it on every bench run
-    cfg.vesselness.upload_format = "bq2"
+    # row-adaptive 4-bit wire (0.5 B/voxel, 22 MB at this shape): the
+    # tunnel link is the stage bottleneck; fidelity measured equal to
+    # u8 across phantom seeds and re-verified by the metrics below on
+    # every run.  (x=170 is not 4-voxel aligned, so requesting bq2
+    # would degrade to bq4 anyway — ask for what actually runs.)
+    cfg.vesselness.upload_format = "bq4"
     # hysteresis segmentation: weak floor keeps thin (radius 1-2)
     # branches connected, strong seeds + native component selection
     # reject noise, border margin suppresses the filter's volume-face
