@@ -188,6 +188,28 @@ def test_bq4_native_pack_matches_numpy():
     assert np.array_equal(rmn, ref_mn)
 
 
+def test_bq_alignment_degrades_to_next_finer_format():
+    """x=170 cannot pack 4- or 8-voxel groups: requesting bq2 must land
+    on bq4 (the next finer format that fits), not on u8."""
+    import jax.numpy as jnp
+
+    from arterynetwork_tpu.ops.vesselness import (
+        frangi_vesselness_chunked, frangi_vesselness_streamed)
+
+    rng = np.random.default_rng(21)
+    raw = rng.normal(100.0, 5.0, (24, 32, 170)).astype(np.float32)
+    raw[10:14, 14:18, :] += 60.0
+    v2, _, _ = frangi_vesselness_streamed(raw, sigmas=(1.5,), chunk_z=12,
+                                          bits=2)
+    v4, _, _ = frangi_vesselness_streamed(raw, sigmas=(1.5,), chunk_z=12,
+                                          bits=4)
+    np.testing.assert_array_equal(np.asarray(v2), np.asarray(v4))
+    # and NOT the u8 result (different quantization -> different field)
+    v8, _, _ = frangi_vesselness_streamed(raw, sigmas=(1.5,), chunk_z=12,
+                                          bits=8)
+    assert not np.array_equal(np.asarray(v2), np.asarray(v8))
+
+
 def test_bq_low_bit_wire_round_trips():
     """bq3/bq2 native pack -> device unpack recovers the row-quantized
     field exactly (pack and unpack are exact inverses up to the
