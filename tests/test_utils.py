@@ -75,3 +75,15 @@ def test_sparse_mask_download_matches_dense():
     full = jnp.asarray(rng.random((12, 9, 16)) > 0.3)
     np.testing.assert_array_equal(sparse_mask_to_host_packed(full),
                                   np.asarray(pack_mask(full)))
+    # exact block-multiple shape: the crop is the whole scratch buffer,
+    # so consecutive results must be freshly-owned copies, not views of
+    # scratch memory the next call overwrites
+    a = np.zeros((16, 16, 16), bool)
+    a[2:5, 3:6, 4:9] = True
+    b = np.zeros((16, 16, 16), bool)
+    b[9:12, 10:13, 2:7] = True
+    da, db = jnp.asarray(a), jnp.asarray(b)
+    ra = sparse_mask_to_host_packed(da)
+    rb = sparse_mask_to_host_packed(db)
+    np.testing.assert_array_equal(ra, np.asarray(pack_mask(da)))
+    np.testing.assert_array_equal(rb, np.asarray(pack_mask(db)))
