@@ -280,7 +280,7 @@ def _cmd_morpho(args):
     stats2 = statistics_per_partition2(G, segments, parts,
                                        spacing=args.spacing)
 
-    spacing_mm = args.spacing * 1000
+    spacing_mm = args.spacing_mm  # defaulted to spacing*1000 when unset
     figures = {}
     if not args.no_figures:
         renders = {"fig1": lambda p: fig1(seg_info, node_info,

@@ -82,11 +82,21 @@ def _sweep_kernel(Y, X, Y0, X0, seg_p_ref, seg_c_ref, seg_n_ref, idx_ref,
     sn = seg_n_ref[0].astype(jnp.float32) * wn
 
     # dilate26(seg) and dilate26(~seg) at this slice, with the XLA
-    # path's zero padding: outside the volume is neither seg nor ~seg
+    # path's zero padding: outside the volume is neither seg nor ~seg.
+    # Y/X pad rows/lanes are outside the volume too — mask them out of
+    # the complement terms (pad voxels read seg=0 and would otherwise
+    # count as background, spuriously marking the volume's high face
+    # as boundary), mirroring the wp/wn z-clamp treatment.
+    if Y0 != Y or X0 != X:
+        vy = jax.lax.broadcasted_iota(jnp.int32, (Y, X), 0) < Y0
+        vx = jax.lax.broadcasted_iota(jnp.int32, (Y, X), 1) < X0
+        vmask = (vy & vx).astype(jnp.float32)
+    else:
+        vmask = jnp.ones((Y, X), jnp.float32)
     dil_s = jnp.maximum(jnp.maximum(_d9(sp), _d9(sc)), _d9(sn))
-    dil_n = jnp.maximum(jnp.maximum(_d9((one - sp) * wp),
-                                    _d9(one - sc)),
-                        _d9((one - sn) * wn))
+    dil_n = jnp.maximum(jnp.maximum(_d9((one - sp) * wp * vmask),
+                                    _d9((one - sc) * vmask)),
+                        _d9((one - sn) * wn * vmask))
     bnd = dil_s * dil_n         # 0/1: mixed 27-neighborhood
 
     # sign bit of diff at this voxel's bin, from 8 packed 32-bit words
@@ -104,9 +114,7 @@ def _sweep_kernel(Y, X, Y0, X0, seg_p_ref, seg_c_ref, seg_n_ref, idx_ref,
     xor_tgt = sc + bit - 2 * sc * bit
     flips = bnd * xor_tgt
     if Y0 != Y or X0 != X:
-        vy = jax.lax.broadcasted_iota(jnp.int32, (Y, X), 0) < Y0
-        vx = jax.lax.broadcasted_iota(jnp.int32, (Y, X), 1) < X0
-        flips = flips * (vy & vx).astype(jnp.float32)
+        flips = flips * vmask
     out_ref[0] = (sc + flips - 2 * sc * flips).astype(jnp.bfloat16)
 
     # nibble-factorized +/- delta histogram over the flipped voxels,
@@ -379,6 +387,12 @@ def _banded_kernel(band, X, Y0, X0, Z,
     row0 = j * band - 8
     grow = jax.lax.broadcasted_iota(jnp.int32, (W, X), 0) + row0
     row_ok = ((grow >= 0) & (grow < Y0)).astype(jnp.float32)
+    if X0 != X:
+        # lane pads are outside the volume just like out-of-range rows:
+        # fold the X validity into the same mask so the complement
+        # (background) dilation never reads pad lanes as background
+        vxw = jax.lax.broadcasted_iota(jnp.int32, (W, X), 1) < X0
+        row_ok = row_ok * vxw.astype(jnp.float32)
     wp = jnp.where(i > 0, 1.0, 0.0).astype(jnp.float32)
     wn = jnp.where(i < nz - 1, 1.0, 0.0).astype(jnp.float32)
 

@@ -394,6 +394,15 @@ def graph_stage(skeleton, mask, config=None, store=None,
 
     cfg = (config or PipelineConfig()).skeleton
     if distance_transform is None:
+        # the EDT is computed full-frame here, so a box-cropped skeleton
+        # (nonzero origin) without its matching cropped dt is not a
+        # supported combination — the simplify radius lookup would index
+        # the full-frame dt with box-frame keys; fail loudly instead
+        if tuple(skeleton.shape) != tuple(np.asarray(mask).shape):
+            raise ValueError(
+                "graph_stage: cropped skeleton requires the matching "
+                f"cropped distance_transform (skeleton {skeleton.shape} "
+                f"vs mask {np.asarray(mask).shape})")
         distance_transform = compute_mask_edt(mask)
         origin = (0, 0, 0)
     _, segments = skeleton_to_segments(

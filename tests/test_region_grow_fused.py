@@ -91,6 +91,96 @@ def test_fused_sweep_padded_lanes_never_flip():
         assert out[:, :, :100].sum() >= seed[:, :, :100].sum()
 
 
+def test_fused_sweep_padded_face_parity():
+    """Real voxels on the volume's high Y/X faces (adjacent to pad
+    rows/lanes) follow the XLA zero-pad semantics: pad voxels are
+    neither seg nor ~seg, so an interior seg voxel at the face is NOT
+    boundary through the pad and must never erode."""
+    rng = np.random.default_rng(7)
+    Z, Y0, X0 = 6, 12, 100
+    Y, X = 16, 128
+    data = rng.normal(0.1, 0.05, (Z, Y0, X0)).astype(np.float32)
+    data[2:5, 6:12, 60:100] += 0.8      # bright region on both high faces
+    seed = np.zeros((Z, Y0, X0), bool)
+    seed[3, 8:12, 80:100] = True        # seg touches both padded faces
+
+    with _x32():
+        bin_idx, bin_values = _quantize(jnp.asarray(data), 256)
+        pad = ((0, 0), (0, Y - Y0), (0, X - X0))
+        idx_p = jnp.pad(bin_idx, pad).astype(jnp.bfloat16)
+
+        # targeted erosion check: a table that wants EVERYTHING out only
+        # flips true-boundary seg voxels; interior face voxels stay
+        diff_out = -jnp.ones((256,), jnp.float32)
+        seg = jnp.asarray(seed)
+        bnd = dilate26(seg) & dilate26(~seg)
+        seg_ref = seg & ~bnd
+        seg_new, _, _ = fused_sweep(
+            jnp.pad(seg, pad).astype(jnp.bfloat16), idx_p,
+            pack_sign_words(diff_out), valid_yx=(Y0, X0), interpret=True)
+        np.testing.assert_array_equal(
+            np.asarray(seg_new[:, :Y0, :X0]) != 0, np.asarray(seg_ref))
+        assert not np.asarray(seg_new)[:, Y0:, :].any()
+        assert not np.asarray(seg_new)[:, :, X0:].any()
+
+        # full-iteration parity with the real decision table
+        dv = bin_values[:, None] - bin_values[None, :]
+        K = (A_NORM * jnp.exp(-0.5 * 2.25 * dv * dv)).astype(jnp.float32)
+        ones = jnp.ones((1, Z * Y0 * X0), bool)
+        hist_all = _masked_histograms_scatter(bin_idx.reshape(-1), ones,
+                                              256)[0]
+        seg = jnp.asarray(seed)
+        for it in range(3):
+            inner = _masked_histograms_scatter(
+                bin_idx.reshape(-1), seg.reshape(1, -1), 256)[0]
+            outer = hist_all - inner
+            diff = ((K @ inner) / jnp.maximum(jnp.sum(inner), 1.0)
+                    - (K @ outer) / jnp.maximum(jnp.sum(outer), 1.0))
+            bnd = dilate26(seg) & dilate26(~seg)
+            flips_ref = bnd & jnp.logical_xor(seg, sign_lookup(bin_idx,
+                                                               diff))
+            seg_ref = jnp.logical_xor(seg, flips_ref)
+            seg_new, hp, hn = fused_sweep(
+                jnp.pad(seg, pad).astype(jnp.bfloat16), idx_p,
+                pack_sign_words(diff), valid_yx=(Y0, X0), interpret=True)
+            out = np.asarray(seg_new) != 0
+            assert not out[:, Y0:, :].any() and not out[:, :, X0:].any()
+            np.testing.assert_array_equal(out[:, :Y0, :X0],
+                                          np.asarray(seg_ref))
+            seg = seg_ref
+
+
+def test_banded_sweep_padded_face_parity():
+    """Banded variant: lane pads (X0 < X) masked out of the complement
+    dilation exactly like out-of-range rows."""
+    from arterynetwork_tpu.ops.region_grow_fused import fused_sweep_banded
+
+    rng = np.random.default_rng(9)
+    Z, Y0, X0 = 6, 28, 100
+    Y, X = 32, 128
+    data = rng.normal(0.1, 0.05, (Z, Y0, X0)).astype(np.float32)
+    data[2:5, 14:28, 60:100] += 0.8
+    seed = np.zeros((Z, Y0, X0), bool)
+    seed[3, 20:28, 80:100] = True
+
+    with _x32():
+        bin_idx, _ = _quantize(jnp.asarray(data), 256)
+        pad = ((0, 0), (0, Y - Y0), (0, X - X0))
+        idx_p = jnp.pad(bin_idx, pad).astype(jnp.bfloat16)
+        diff_out = -jnp.ones((256,), jnp.float32)
+        seg = jnp.asarray(seed)
+        bnd = dilate26(seg) & dilate26(~seg)
+        seg_ref = seg & ~bnd
+        seg_new, _, _ = fused_sweep_banded(
+            jnp.pad(seg, pad).astype(jnp.bfloat16), idx_p,
+            pack_sign_words(diff_out), valid_yx=(Y0, X0), band=16,
+            interpret=True)
+        np.testing.assert_array_equal(
+            np.asarray(seg_new[:, :Y0, :X0]) != 0, np.asarray(seg_ref))
+        assert not np.asarray(seg_new)[:, Y0:, :].any()
+        assert not np.asarray(seg_new)[:, :, X0:].any()
+
+
 def test_fused_tile_fits_gate():
     assert fused_tile_fits((512, 512, 170))
     assert not fused_tile_fits((880, 880, 640))  # Speck: XLA fallback
