@@ -49,6 +49,14 @@ class FlowSolution(NamedTuple):
     iterations: jax.Array     # scalar int
 
 
+def _two_sum(a, b):
+    """Knuth error-free transform: a + b == s + err exactly in IEEE RN."""
+    s = a + b
+    bb = s - a
+    err = (a - (s - bb)) + (b - bb)
+    return s, err
+
+
 def _signed_flow_and_weight(dp, adm, k):
     """Q(dp) and the linearization weight, both well-defined at dp=0.
 
@@ -129,7 +137,8 @@ def _cg_laplacian_solve(system: FlowSystem, w, rhs, tol=None, maxiter=None):
     return dinv_sqrt * y
 
 
-@functools.partial(jax.jit, static_argnames=("max_iter", "linear_solver"))
+@functools.partial(jax.jit, static_argnames=("max_iter", "linear_solver",
+                                              "refine_steps"))
 def solve_pressure_newton(
     system: FlowSystem,
     p_init: jax.Array | None = None,
@@ -137,11 +146,22 @@ def solve_pressure_newton(
     tol: float = 1e-14,
     linear_solver: str = "dense",
     plan=None,
+    refine_steps: int | None = None,
 ) -> FlowSolution:
     """Damped Newton solve for interior pressures, then flows/velocities.
 
     ``tol`` is on the max nodal flow imbalance in m^3/s (1e-14 m^3/s =
     1e-8 cm^3/s, far below the reference's accepted errors).
+
+    ``refine_steps`` appends compensated (double-single) Newton
+    iterations after convergence: pressures are carried as an exact
+    f32 hi+lo pair and the edge pressure drops are formed with
+    error-free two-sum transforms, so the residual — and therefore the
+    correction — is resolved below the f32 rounding floor where plain
+    f32 Newton stalls (the dp = p_head - p_tail cancellation loses
+    ~eps*|p| per edge).  Default: 2 steps for f32 systems (closes the
+    on-device pressure parity to <=1e-6 relative, the BASELINE.md:21
+    target; TPU has no f64), 0 for f64 (already at 1e-10).
     """
     adm = edge_admittance(system.radius_m, system.length_m, system.c, system.k)
     dtype = system.radius_m.dtype
@@ -249,8 +269,59 @@ def solve_pressure_newton(
     else:
         p_unknown, rn, it = p_init, jnp.zeros((), dtype), jnp.zeros((), jnp.int32)
 
+    if refine_steps is None:
+        refine_steps = 2 if dtype == jnp.float32 else 0
+
+    p_lo = jnp.zeros_like(p_unknown)
+    if refine_steps and M > 0:
+        slot = system.node_unknown_index
+        hslot = slot[system.head]
+        tslot = slot[system.tail]
+        inv_k = 1.0 / system.k
+
+        def ds_residual(p_hi, p_lo):
+            """Residual with the pressure drop formed error-free."""
+            pf_hi = system.full_pressure(p_hi)
+            padded_lo = jnp.concatenate([p_lo, jnp.zeros((1,), dtype)])
+            pf_lo = jnp.where(system.node_fixed, jnp.zeros((), dtype),
+                              padded_lo[system.node_unknown_index])
+            s, e = _two_sum(pf_hi[system.head], -pf_hi[system.tail])
+            e = e + (pf_lo[system.head] - pf_lo[system.tail])
+            mag = jnp.maximum(jnp.abs(s), _DP_EPS)
+            w = adm ** inv_k * mag ** (inv_k - 1.0)
+            q_hi = w * s
+            q_lo = (w * inv_k) * e   # first order: dq/d(dp) = w/k
+            netf = jnp.zeros(M + 1, dtype)
+            netf = netf.at[tslot].add(q_hi).at[hslot].add(-q_hi)
+            netc = jnp.zeros(M + 1, dtype)
+            netc = netc.at[tslot].add(q_lo).at[hslot].add(-q_lo)
+            return netf[:M] + netc[:M], w
+
+        def refine(carry, _):
+            p_hi, p_lo = carry
+            r, w = ds_residual(p_hi, p_lo)
+            # tangent weight dq/d(dp) = w/k: at the converged point no
+            # k-th-root modes are active (the secant weight is only
+            # needed for global robustness), so these steps contract
+            # quadratically instead of at the secant ~(1-1/k) rate
+            step = solve_fn(system, w * inv_k, r)
+            hi, err = _two_sum(p_hi, step)
+            lo = p_lo + err
+            hi2, lo2 = _two_sum(hi, lo)   # renormalize the pair
+            return (hi2, lo2), None
+
+        (p_unknown, p_lo), _ = jax.lax.scan(
+            refine, (p_unknown, p_lo), None, length=refine_steps)
+        rn = jnp.max(jnp.abs(ds_residual(p_unknown, p_lo)[0]))
+
     p_full = system.full_pressure(p_unknown)
     dp = p_full[system.head] - p_full[system.tail]
+    if refine_steps and M > 0:
+        padded_lo = jnp.concatenate([p_lo, jnp.zeros((1,), dtype)])
+        pf_lo = jnp.where(system.node_fixed, jnp.zeros((), dtype),
+                          padded_lo[system.node_unknown_index])
+        s, e = _two_sum(p_full[system.head], -p_full[system.tail])
+        dp = s + (e + (pf_lo[system.head] - pf_lo[system.tail]))
     q, _ = _signed_flow_and_weight(dp, adm, system.k)
     v = velocity_from_flow(q, system.radius_m)
     return FlowSolution(pressure=p_full + p_ref, flow=q, velocity=v,

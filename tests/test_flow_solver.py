@@ -54,6 +54,39 @@ def test_tree_round_trip(k, option):
                                rtol=1e-7, atol=1e-10)
 
 
+@pytest.mark.parametrize("allow_merge", [False, True])
+def test_f32_refined_pressure_parity(allow_merge):
+    """Compensated (double-single) refinement closes f32 pressure parity
+    to <=1e-6 relative — the BASELINE.md north-star target the TPU must
+    meet without f64.  Default refine_steps already applies for f32."""
+    import jax.numpy as jnp
+
+    from arterynetwork_tpu.flow.tree_solver import plan_elimination
+
+    seed = 6 if allow_merge else 42
+    net = _tree(max_depth=10, k=1.852, seed=seed, allow_merge=allow_merge)
+    gt = create_ground_truth(net, option=2, rng=np.random.default_rng(7))
+    if not gt.success:      # some merge draws are infeasible by design
+        pytest.skip("infeasible merge draw")
+    system = build_system(net, boundary_pressure=gt.pressure,
+                          dtype=jnp.float32)
+    plan = None if allow_merge else plan_elimination(system)
+    solver = "auto" if plan is not None else "dense"
+    sol = solve_pressure_newton(system, max_iter=60, tol=1e-9,
+                                linear_solver=solver, plan=plan)
+    err = np.nanmax(np.abs(np.asarray(sol.pressure, np.float64)
+                           - gt.pressure) / np.abs(gt.pressure))
+    assert err <= 1e-6, err
+    # without refinement the same solve floors at ~5e-6 (regression guard
+    # that the refinement path is actually on by default)
+    sol0 = solve_pressure_newton(system, max_iter=60, tol=1e-9,
+                                 linear_solver=solver, plan=plan,
+                                 refine_steps=0)
+    err0 = np.nanmax(np.abs(np.asarray(sol0.pressure, np.float64)
+                            - gt.pressure) / np.abs(gt.pressure))
+    assert err < err0
+
+
 def test_poiseuille_linear_solve_exact():
     """k=1 networks solve in a single Newton step (graph Laplacian solve)."""
     net = _tree(max_depth=7, k=1.0, seed=3)
