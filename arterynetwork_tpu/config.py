@@ -83,11 +83,20 @@ class SkeletonConfig:
     #   cycle_tight_ratio   — cut cycles with total length <= ratio *
     #                         max arc radius (intra-vessel meshes); long
     #                         loops (e.g. Circle of Willis) are kept
+    #   bridge_max_len      — junction audit: cut junction-junction
+    #                         arcs <= this many voxels whose removal
+    #                         keeps the endpoints connected (same-branch
+    #                         thinning loops, kissing-vessel merges);
+    #                         the automated remove+merge edit.  0 = off;
+    #                         true short collaterals cut by it are
+    #                         restorable with graphs/editing.py, as the
+    #                         reference resolves these manually
     simplify: bool = True       # master switch for the passes below
     collapse_junctions: bool = True
     prune_radius_factor: float = 2.5
     cycle_tight_ratio: float = 16.0
     simplify_rounds: int = 3
+    bridge_max_len: int = 13
 
 
 @dataclasses.dataclass

@@ -565,6 +565,92 @@ def prune_artifact_cycles(chains, n, radius, tight_ratio: float = 16.0,
     return chains
 
 
+def prune_junction_bridges(chains, n, radius, coords=None,
+                           max_len: int = 13, cover_tol: float = 2.5,
+                           iterations: int = 3):
+    """Cut short junction-junction bridge arcs that lie on a cycle —
+    the automated form of the reference's manual remove+merge edit
+    (manualCorrectionGUIDetail.py:266-374): same-branch thinning loops
+    and kissing-vessel mask merges both show up as a short arc joining
+    two degree->=3 vertices with the rest of the cycle carrying the real
+    anatomy.
+
+    An arc is removed only when (a) both endpoints have degree >= 3,
+    (b) its voxel length is <= ``max_len``, (c) its endpoints remain
+    connected without it (it is a cycle member, so removal cannot
+    disconnect the tree), and (d) — when ``coords`` is given — every
+    interior voxel stays within ``cover_tol`` voxels of the surviving
+    chains (geometric redundancy: a thinning loop runs beside its twin
+    arc and a kissing neck spans a near-touch gap, but a REAL short
+    branch carries geometry nothing else covers, so it survives even
+    when a mask merge put it on a cycle).  Candidates are cut
+    weakest-mean-radius first, re-checking connectivity after each cut
+    so two arcs of the same cycle are never both removed.  The rebuild
+    afterwards merges the now-degree-2 junction chains — the
+    reference's auto-merge.  Long real collaterals (e.g.
+    Circle-of-Willis communicating arteries longer than ``max_len``
+    voxels) are never candidates; anything cut in error is restorable
+    with the editing engine, exactly as the reference resolves kissing
+    vessels manually."""
+    import networkx as nx
+    for _ in range(iterations):
+        if not chains:
+            break
+        ends = np.fromiter((c[0] for c in chains), np.int64, len(chains))
+        ends = np.concatenate(
+            [ends, np.fromiter((c[-1] for c in chains), np.int64,
+                               len(chains))])
+        deg = np.bincount(ends, minlength=n)
+        lens, means = _chain_mean_radius(chains, radius)
+        Gm = nx.MultiGraph()
+        for i, c in enumerate(chains):
+            Gm.add_edge(c[0], c[-1], key=i)
+        cand = [i for i, c in enumerate(chains)
+                if c[0] != c[-1] and len(c) <= max_len
+                and deg[c[0]] >= 3 and deg[c[-1]] >= 3]
+        cand.sort(key=lambda i: (means[i], -lens[i]))
+        drop: set = set()
+        cover_tree = None
+        if coords is not None and cand:
+            from scipy.spatial import cKDTree
+            chain_of = np.full(n, -1, np.int64)
+            for i, c in enumerate(chains):
+                chain_of[np.asarray(c, np.int64)] = i
+            # junction vertices belong to every incident arc: never let
+            # a candidate count as covered by its own endpoints
+            all_v = np.concatenate([np.asarray(c, np.int64)
+                                    for c in chains])
+            all_v = np.unique(all_v)
+            cover_tree = (all_v, cKDTree(coords[all_v]))
+        for i in cand:
+            u, v = chains[i][0], chains[i][-1]
+            if not Gm.has_edge(u, v, key=i):
+                continue
+            Gm.remove_edge(u, v, key=i)
+            if not nx.has_path(Gm, u, v):
+                Gm.add_edge(u, v, key=i)
+                continue
+            if cover_tree is not None and len(chains[i]) > 2:
+                all_v, tree = cover_tree
+                interior = np.asarray(chains[i][1:-1], np.int64)
+                own = set(chains[i]) | {
+                    w for j in drop for w in chains[j]}
+                nbrs = tree.query_ball_point(coords[interior],
+                                             r=cover_tol)
+                covered = all(
+                    any(all_v[t] not in own for t in lst)
+                    for lst in nbrs)
+                if not covered:
+                    Gm.add_edge(u, v, key=i)
+                    continue
+            drop.add(i)
+        if not drop:
+            break
+        chains = _rebuild_chains(
+            [c for i, c in enumerate(chains) if i not in drop], n)
+    return chains
+
+
 def _prune_chains_radius(chains, n, radius, min_length: int = 3,
                          factor: float = 2.5, iterations: int = 4):
     """Radius-aware spur pruning: drop terminal chains shorter than
@@ -598,11 +684,14 @@ def _prune_chains_radius(chains, n, radius, min_length: int = 3,
 
 def simplify_chains(chains, n, radius, min_length: int = 3,
                     collapse: bool = True, radius_factor: float = 2.5,
-                    cycle_tight_ratio: float = 16.0, rounds: int = 3):
+                    cycle_tight_ratio: float = 16.0, rounds: int = 3,
+                    bridge_max_len: int = 13, coords=None):
     """Full simplification: junction-cluster collapse -> parallel-arc
-    dedupe -> tight-cycle cut -> radius-aware spur prune, iterated (each
-    pass exposes work for the next: pruning a spur merges its junction's
-    surviving arcs, collapse after that may merge clusters, ...)."""
+    dedupe -> tight-cycle cut -> junction-bridge audit -> radius-aware
+    spur prune, iterated (each pass exposes work for the next: pruning
+    a spur merges its junction's surviving arcs, collapse after that
+    may merge clusters, ...).  ``bridge_max_len=0`` disables the
+    bridge audit."""
     for _ in range(rounds):
         if not chains:
             break
@@ -621,6 +710,10 @@ def simplify_chains(chains, n, radius, min_length: int = 3,
         if cycle_tight_ratio > 0:
             chains = prune_artifact_cycles(chains, n, radius,
                                            cycle_tight_ratio)
+        if bridge_max_len > 0:
+            chains = prune_junction_bridges(chains, n, radius,
+                                            coords=coords,
+                                            max_len=bridge_max_len)
         chains = _prune_chains_radius(chains, n, radius,
                                       min_length=min_length,
                                       factor=radius_factor)
@@ -635,7 +728,8 @@ def skeleton_to_segments(skeleton, prune_min_length: int = 0,
                          collapse: bool = True,
                          radius_factor: float = 2.5,
                          cycle_tight_ratio: float = 16.0,
-                         simplify_rounds: int = 3):
+                         simplify_rounds: int = 3,
+                         bridge_max_len: int = 13):
     """Skeleton mask -> (G, segmentList): the output contract of the
     reference's skeletonization stage (graphRepresentation + segmentList,
     skeletonization.py:745-790).
@@ -655,12 +749,15 @@ def skeleton_to_segments(skeleton, prune_min_length: int = 0,
     if simplify and distance_transform is not None and len(uniq):
         radius = np.asarray(distance_transform,
                             np.float32).reshape(-1)[uniq]
+        coords = _keys_to_coords(uniq, shape).astype(np.float64)
         chains = simplify_chains(chains, len(uniq), radius,
                                  min_length=max(prune_min_length, 3),
                                  collapse=collapse,
                                  radius_factor=radius_factor,
                                  cycle_tight_ratio=cycle_tight_ratio,
-                                 rounds=simplify_rounds)
+                                 rounds=simplify_rounds,
+                                 bridge_max_len=bridge_max_len,
+                                 coords=coords)
     elif prune_min_length > 0:
         chains = _prune_chains(chains, len(uniq),
                                min_length=prune_min_length)

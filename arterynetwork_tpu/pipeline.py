@@ -412,7 +412,8 @@ def graph_stage(skeleton, mask, config=None, store=None,
         collapse=cfg.collapse_junctions,
         radius_factor=cfg.prune_radius_factor,
         cycle_tight_ratio=cfg.cycle_tight_ratio,
-        simplify_rounds=cfg.simplify_rounds)
+        simplify_rounds=cfg.simplify_rounds,
+        bridge_max_len=cfg.bridge_max_len)
     attrs = compute_branch_attrs(segments, segments, distance_transform,
                                  origin=origin)
     G = None

@@ -362,6 +362,8 @@ def bench_pipeline_512():
     from arterynetwork_tpu.utils.fidelity import tree_recovery_metrics
     fid = tree_recovery_metrics(result["segments"], result["attrs"],
                                 phantom)
+    fid["bifurcation_ratio"] = fid["bifurcations"] / max(
+        fid["gt_bifurcations"], 1)
     return {
         "pipeline_512_s": total,
         "pipeline_512_s_best": min(totals),

@@ -233,6 +233,57 @@ def test_tight_cycle_cut_keeps_long_loops():
     assert E2 == V2  # cycle intact
 
 
+def test_junction_bridge_audit_cuts_redundant_twin_arc():
+    """A short thinning twin arc between two junctions is removed (its
+    geometry is covered by the direct arc) and the junctions merge
+    through — the automated remove+merge edit."""
+    from arterynetwork_tpu.graphs.segments import prune_junction_bridges
+
+    coords = np.asarray([(i, 0, 0) for i in range(31)]
+                        + [(11, 1, 0), (12, 1, 0), (13, 1, 0)],
+                        np.float64)
+    n = len(coords)
+    edges = [(i, i + 1) for i in range(30)]
+    edges += [(10, 31), (31, 32), (32, 33), (33, 14)]
+    chains = _chains_of(edges, n)
+    radius = np.ones(n, np.float32)
+    radius[[31, 32, 33]] = 0.5       # twin arc is weaker
+    out = prune_junction_bridges(chains, n, radius, coords=coords)
+    flat = {v for c in out for v in c}
+    assert not flat & {31, 32, 33}   # twin arc gone
+    assert len(out) == 1             # junctions merged through
+    assert set(out[0]) == set(range(31))
+
+
+def test_junction_bridge_audit_keeps_uncovered_real_branch():
+    """A short junction-junction arc on a cycle survives when nothing
+    else covers its geometry (a real branch, not an artifact)."""
+    from arterynetwork_tpu.graphs.segments import prune_junction_bridges
+
+    coords = ([(i, 0, 0) for i in range(11)]          # stub to J1 (id 10)
+              + [(10, j, 0) for j in range(1, 7)]     # direct arc 11..16
+              + [(10, 6, j) for j in range(1, 6)]     # stub off J2 17..21
+              + [(10 + i, 0, 0) for i in range(1, 7)]  # detour 22..27
+              + [(16, j, 0) for j in range(1, 7)])    # detour 28..33
+    coords = np.asarray(coords, np.float64)
+    n = len(coords)
+    J1, J2 = 10, 16
+    edges = [(i, i + 1) for i in range(10)]           # stub -> J1
+    edges += [(J1, 11)] + [(i, i + 1) for i in range(11, 16)]  # direct
+    edges += [(J2, 17)] + [(i, i + 1) for i in range(17, 21)]  # stub
+    edges += [(J1, 22)] + [(i, i + 1) for i in range(22, 27)]  # detour x
+    edges += [(27, 28)] + [(i, i + 1) for i in range(28, 33)]  # detour y
+    edges += [(33, J2)]
+    chains = _chains_of(edges, n)
+    radius = np.ones(n, np.float32)
+    out = prune_junction_bridges(chains, n, radius, coords=coords)
+    E = sum(len(c) - 1 for c in out)
+    V = len({v for c in out for v in c})
+    assert E == V                    # cycle intact: nothing was cut
+    flat = {v for c in out for v in c}
+    assert {11, 12, 13, 14, 15} <= flat
+
+
 def test_radius_aware_spur_prune():
     """A spur shorter than factor*junction_radius is dropped; a real
     branch of the same length at a thin junction survives."""
