@@ -566,7 +566,8 @@ def prune_artifact_cycles(chains, n, radius, tight_ratio: float = 16.0,
 
 
 def prune_junction_bridges(chains, n, radius, coords=None,
-                           max_len: int = 13, cover_tol: float = 2.5,
+                           max_len: int = 13, cover_tol: float = 4.0,
+                           cover_radius_factor: float = 1.0,
                            iterations: int = 3):
     """Cut short junction-junction bridge arcs that lie on a cycle —
     the automated form of the reference's manual remove+merge edit
@@ -635,8 +636,13 @@ def prune_junction_bridges(chains, n, radius, coords=None,
                 interior = np.asarray(chains[i][1:-1], np.int64)
                 own = set(chains[i]) | {
                     w for j in drop for w in chains[j]}
-                nbrs = tree.query_ball_point(coords[interior],
-                                             r=cover_tol)
+                # thick arcs tolerate wider coverage gaps: a thinning
+                # twin inside a radius-r vessel runs ~r away from its
+                # sibling, while a thin real branch keeps the strict
+                # base tolerance
+                tol_i = max(cover_tol,
+                            cover_radius_factor * float(means[i]))
+                nbrs = tree.query_ball_point(coords[interior], r=tol_i)
                 covered = all(
                     any(all_v[t] not in own for t in lst)
                     for lst in nbrs)

@@ -266,9 +266,16 @@ def _region_grow_fused_jit(data, seed_mask, H, max_segment_size,
         diff = (K @ inner_hist) / isz - (K @ outer_hist) / osz
         words = pack_sign_words(diff)
         if band:
-            seg_new, hp, hn = fused_sweep_banded(seg_t, idx_t, words,
-                                                 valid_yx=valid_yx,
-                                                 band=band)
+            # manual-DMA window variant (single HBM input ref) when the
+            # banded axis has room for the halo window; the 9-block-spec
+            # variant covers the residual small-axis shapes
+            if shape_t[1] + pad_y >= band + 16:
+                seg_new, hp, hn = fused_sweep_banded_dma(
+                    seg_t, idx_t, words, valid_yx=valid_yx, band=band)
+            else:
+                seg_new, hp, hn = fused_sweep_banded(seg_t, idx_t, words,
+                                                     valid_yx=valid_yx,
+                                                     band=band)
         else:
             seg_new, hp, hn = fused_sweep(seg_t, idx_t, words,
                                           valid_yx=valid_yx)
@@ -459,6 +466,150 @@ def _banded_kernel(band, X, Y0, X0, Z,
     def _():
         hp_ref[:] = accp[:]
         hn_ref[:] = accn[:]
+
+
+def _banded_dma_kernel(band, X, Y0, X0, Z, seg_hbm, idx_ref, words_ref,
+                       out_ref, hp_ref, hn_ref,
+                       win, sem, st_seg, st_flip, accp, accn):
+    """Manual-DMA variant of the banded sweep: the (band+16)-row window
+    is copied from the full HBM segmentation ref (3 clamped z-slices)
+    instead of being assembled from 9 neighbor block specs — one input
+    ref, no window concatenate, the structure the remote AOT compiler
+    handled standalone.  Dynamic offsets touch only REFS and are always
+    8-aligned (band % 8 == 0 keeps every start on a sublane boundary)."""
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+    nz = pl.num_programs(0)
+    nb = pl.num_programs(1)
+    W = band + 16
+    Yp = nb * band
+
+    @pl.when((i == 0) & (j == 0))
+    def _():
+        accp[:] = jnp.zeros_like(accp)
+        accn[:] = jnp.zeros_like(accn)
+
+    # window rows [s, s+W) of the unpadded (Yp >= W) row space; the
+    # clamped start keeps the copy in range and stays 8-aligned, the
+    # interior band lives at offset o = j*band - s in {0, 8, 16}
+    s = jnp.clip(j * band - 8, 0, Yp - W)
+    o = j * band - s
+    dmas = []
+    for dz in range(3):
+        zc = jnp.clip(i + dz - 1, 0, Z - 1)
+        dmas.append(pltpu.make_async_copy(
+            seg_hbm.at[zc, pl.ds(s, W), :], win.at[dz], sem.at[dz]))
+    for d in dmas:
+        d.start()
+    for d in dmas:
+        d.wait()
+
+    grow = jax.lax.broadcasted_iota(jnp.int32, (W, X), 0) + s
+    row_ok = (grow < Y0).astype(jnp.float32)   # s >= 0: no lower bound
+    if X0 != X:
+        vxw = jax.lax.broadcasted_iota(jnp.int32, (W, X), 1) < X0
+        row_ok = row_ok * vxw.astype(jnp.float32)
+    # rows outside [j*band-8, j*band+band+8) belong to other bands'
+    # windows only when the start was edge-clamped; they are real rows
+    # (clamping only happens inside the volume), so no extra masking
+    wp = jnp.where(i > 0, 1.0, 0.0).astype(jnp.float32)
+    wn = jnp.where(i < nz - 1, 1.0, 0.0).astype(jnp.float32)
+    sp = win[0].astype(jnp.float32) * row_ok * wp
+    sc = win[1].astype(jnp.float32) * row_ok
+    sn = win[2].astype(jnp.float32) * row_ok * wn
+
+    dil_s = jnp.maximum(jnp.maximum(_d9(sp), _d9(sc)), _d9(sn))
+    dil_n = jnp.maximum(
+        jnp.maximum(_d9((1.0 - sp) * row_ok * wp),
+                    _d9((1.0 - sc) * row_ok)),
+        _d9((1.0 - sn) * row_ok * wn))
+    bnd = dil_s * dil_n * row_ok
+
+    st_seg[:] = sc
+    st_flip[:] = bnd
+    sc_main = st_seg[pl.ds(o, band), :]
+    bnd_main = st_flip[pl.ds(o, band), :]
+
+    idx_i = idx_ref[0].astype(jnp.int32)          # (band, X)
+    w = idx_i >> 5
+    sel = jnp.zeros(idx_i.shape, jnp.int32)
+    for k in range(8):
+        sel = jnp.where(w == k, words_ref[k], sel)
+    bit = ((sel >> (idx_i & 31)) & 1).astype(jnp.float32)
+
+    xor_tgt = sc_main + bit - 2 * sc_main * bit
+    flips = bnd_main * xor_tgt
+    out_ref[0] = (sc_main + flips - 2 * sc_main * flips) \
+        .astype(jnp.bfloat16)
+
+    n_here = jnp.sum(flips)
+
+    @pl.when(n_here > 0)
+    def _():
+        fl = flips.astype(jnp.bfloat16)
+        s0 = sc_main.astype(jnp.bfloat16)
+        hi = (idx_i >> 4)[:, None, :]
+        lo = (idx_i & 15)[:, None, :]
+        iota = jax.lax.broadcasted_iota(jnp.int32, (band, 16, X), 1)
+        oh_hi = (hi == iota).astype(jnp.bfloat16)
+        oh_lo = (lo == iota).astype(jnp.bfloat16)
+        m_pos = (fl * (jnp.bfloat16(1) - s0))[:, None, :]
+        m_neg = (fl * s0)[:, None, :]
+        pos = jax.lax.dot_general(
+            oh_hi * m_pos, oh_lo,
+            dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)
+        neg = jax.lax.dot_general(
+            oh_hi * m_neg, oh_lo,
+            dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)
+        accp[:] = accp[:] + jnp.sum(pos, axis=0)
+        accn[:] = accn[:] + jnp.sum(neg, axis=0)
+
+    @pl.when((i == nz - 1) & (j == nb - 1))
+    def _():
+        hp_ref[:] = accp[:]
+        hn_ref[:] = accn[:]
+
+
+def fused_sweep_banded_dma(seg_t, idx_t, sign_words, valid_yx=None,
+                           band: int = 128, interpret: bool = False):
+    """Manual-DMA banded sweep: same contract as ``fused_sweep_banded``
+    but the halo window comes from explicit async copies out of the full
+    HBM ref.  Requires Yp >= band + 16 (two or more bands)."""
+    Z, Y, X = seg_t.shape
+    assert Y % band == 0 and X % 128 == 0 and band % 8 == 0, (Y, X, band)
+    assert Y >= band + 16, (Y, band)
+    Y0, X0 = valid_yx if valid_yx is not None else (Y, X)
+    nb = Y // band
+    W = band + 16
+
+    words2 = sign_words.reshape(8).astype(jnp.int32)
+    return pl.pallas_call(
+        functools.partial(_banded_dma_kernel, band, X, int(Y0), int(X0),
+                          Z),
+        grid=(Z, nb),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY),
+                  pl.BlockSpec((1, band, X), lambda i, j: (i, j, 0),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec(memory_space=pltpu.SMEM)],
+        out_specs=[pl.BlockSpec((1, band, X), lambda i, j: (i, j, 0),
+                                memory_space=pltpu.VMEM),
+                   pl.BlockSpec((16, 16), lambda i, j: (0, 0),
+                                memory_space=pltpu.VMEM),
+                   pl.BlockSpec((16, 16), lambda i, j: (0, 0),
+                                memory_space=pltpu.VMEM)],
+        out_shape=[jax.ShapeDtypeStruct((Z, Y, X), jnp.bfloat16),
+                   jax.ShapeDtypeStruct((16, 16), jnp.float32),
+                   jax.ShapeDtypeStruct((16, 16), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((3, W, X), jnp.bfloat16),
+                        pltpu.SemaphoreType.DMA((3,)),
+                        pltpu.VMEM((W, X), jnp.float32),
+                        pltpu.VMEM((W, X), jnp.float32),
+                        pltpu.VMEM((16, 16), jnp.float32),
+                        pltpu.VMEM((16, 16), jnp.float32)],
+        interpret=interpret,
+    )(seg_t, idx_t, words2)
 
 
 def fused_sweep_banded(seg_t, idx_t, sign_words, valid_yx=None,

@@ -150,10 +150,20 @@ def test_fused_sweep_padded_face_parity():
             seg = seg_ref
 
 
-def test_banded_sweep_padded_face_parity():
-    """Banded variant: lane pads (X0 < X) masked out of the complement
+import pytest
+
+
+def _banded_impl(name):
+    from arterynetwork_tpu.ops import region_grow_fused as m
+    return {"specs": m.fused_sweep_banded,
+            "dma": m.fused_sweep_banded_dma}[name]
+
+
+@pytest.mark.parametrize("impl", ["specs", "dma"])
+def test_banded_sweep_padded_face_parity_impls(impl):
+    """Banded variants: lane pads (X0 < X) masked out of the complement
     dilation exactly like out-of-range rows."""
-    from arterynetwork_tpu.ops.region_grow_fused import fused_sweep_banded
+    fused_sweep_banded = _banded_impl(impl)
 
     rng = np.random.default_rng(9)
     Z, Y0, X0 = 6, 28, 100
@@ -186,10 +196,11 @@ def test_fused_tile_fits_gate():
     assert not fused_tile_fits((880, 880, 640))  # Speck: XLA fallback
 
 
-def test_banded_sweep_matches_simple_sweep():
-    """Large-tile banded variant == single-slice kernel, band halos and
+@pytest.mark.parametrize("impl", ["specs", "dma"])
+def test_banded_sweep_matches_simple_sweep(impl):
+    """Large-tile banded variants == single-slice kernel, band halos and
     all (interpret mode; both against the same XLA-computed flip)."""
-    from arterynetwork_tpu.ops.region_grow_fused import fused_sweep_banded
+    fused_sweep_banded = _banded_impl(impl)
 
     rng = np.random.default_rng(3)
     Z, Y, X = 8, 48, 128

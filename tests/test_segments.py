@@ -276,7 +276,8 @@ def test_junction_bridge_audit_keeps_uncovered_real_branch():
     edges += [(33, J2)]
     chains = _chains_of(edges, n)
     radius = np.ones(n, np.float32)
-    out = prune_junction_bridges(chains, n, radius, coords=coords)
+    out = prune_junction_bridges(chains, n, radius, coords=coords,
+                                 cover_tol=2.5)
     E = sum(len(c) - 1 for c in out)
     V = len({v for c in out for v in c})
     assert E == V                    # cycle intact: nothing was cut
