@@ -526,6 +526,71 @@ def _chain_mean_radius(chains, radius):
     return lens, sums / lens
 
 
+def _fundamental_cycles(arc_ends):
+    """Deterministic fundamental cycle basis of the arc graph.
+
+    ``arc_ends``: list of (u, v) vertex pairs, one FIRST arc per
+    unordered pair (parallel arcs and self-loops excluded by the
+    caller).  BFS spanning forest rooted at the minimum-index vertex of
+    each component, neighbors visited in sorted order; every non-tree
+    arc closes exactly one cycle (its endpoints' tree paths to their
+    LCA).  Returns cycles as lists of arc indices, in non-tree-arc
+    order.  Fully deterministic — unlike ``nx.cycle_basis``, whose
+    root choice pops a set — so a native port can match it exactly."""
+    verts = sorted({u for u, v in arc_ends} | {v for u, v in arc_ends})
+    vid = {v: i for i, v in enumerate(verts)}
+    nv = len(verts)
+    adj = [[] for _ in range(nv)]
+    for k, (u, v) in enumerate(arc_ends):
+        ui, vi = vid[u], vid[v]
+        adj[ui].append((vi, k))
+        adj[vi].append((ui, k))
+    for lst in adj:
+        lst.sort()
+    parent = [-1] * nv          # parent vertex in the BFS tree
+    parent_arc = [-1] * nv
+    depth = [-1] * nv
+    tree = [False] * len(arc_ends)
+    order = []
+    for root in range(nv):
+        if depth[root] >= 0:
+            continue
+        depth[root] = 0
+        queue = [root]
+        while queue:
+            nxt = []
+            for x in queue:
+                for y, k in adj[x]:
+                    if depth[y] < 0:
+                        depth[y] = depth[x] + 1
+                        parent[y] = x
+                        parent_arc[y] = k
+                        tree[k] = True
+                        nxt.append(y)
+            queue = nxt
+    cycles = []
+    for k, (u, v) in enumerate(arc_ends):
+        if tree[k]:
+            continue
+        ui, vi = vid[u], vid[v]
+        if ui == vi:
+            continue
+        arcs_u, arcs_v = [], []
+        while depth[ui] > depth[vi]:
+            arcs_u.append(parent_arc[ui])
+            ui = parent[ui]
+        while depth[vi] > depth[ui]:
+            arcs_v.append(parent_arc[vi])
+            vi = parent[vi]
+        while ui != vi:
+            arcs_u.append(parent_arc[ui])
+            ui = parent[ui]
+            arcs_v.append(parent_arc[vi])
+            vi = parent[vi]
+        cycles.append([k] + arcs_u + arcs_v[::-1])
+    return cycles
+
+
 def prune_artifact_cycles(chains, n, radius, tight_ratio: float = 16.0,
                           iterations: int = 3):
     """Cut thinning-artifact cycles: for every basis cycle whose total
@@ -533,31 +598,35 @@ def prune_artifact_cycles(chains, n, radius, tight_ratio: float = 16.0,
     one thick vessel: its extent is a few vessel diameters), remove the
     weakest (min mean-radius) arc.  Long loops — real anatomy like the
     Circle of Willis — are far above the ratio and never touched."""
-    import networkx as nx
     for _ in range(iterations):
         if not chains:
             break
         lens, means = _chain_mean_radius(chains, radius)
         info = list(zip(lens.tolist(), means.tolist()))
-        Gs = nx.Graph()
+        seen_pairs = set()
+        arc_ends, arc_idx = [], []
         for i, c in enumerate(chains):
-            if c[0] != c[-1] and not Gs.has_edge(c[0], c[-1]):
-                Gs.add_edge(c[0], c[-1], key=i)
+            key = (c[0], c[-1]) if c[0] < c[-1] else (c[-1], c[0])
+            if c[0] != c[-1] and key not in seen_pairs:
+                seen_pairs.add(key)
+                arc_ends.append(key)
+                arc_idx.append(i)
         drop = set()
-        for cyc in nx.cycle_basis(Gs):
-            arcs = []
-            ok = True
-            for u, v in zip(cyc, cyc[1:] + cyc[:1]):
-                if not Gs.has_edge(u, v):
-                    ok = False
-                    break
-                arcs.append(Gs[u][v]["key"])
-            if not ok or any(k in drop for k in arcs):
+        for cyc in _fundamental_cycles(arc_ends):
+            arcs = [arc_idx[k] for k in cyc]
+            if any(k in drop for k in arcs):
                 continue
             tot = sum(info[k][0] for k in arcs)
             rmax = max(info[k][1] for k in arcs)
             if tot <= tight_ratio * max(rmax, 0.5):
-                drop.add(min(arcs, key=lambda k: (info[k][1], -info[k][0])))
+                # full tie-break (weakest, longest, LOWEST chain index):
+                # junction-cluster meshes tie on radius and length, and
+                # the index tie-break both pins the choice for the
+                # native port and prefers cutting earlier-walked (more
+                # central) arcs, letting later spur passes finish the
+                # cluster
+                drop.add(min(arcs,
+                             key=lambda k: (info[k][1], -info[k][0], k)))
         if not drop:
             break
         chains = _rebuild_chains(
