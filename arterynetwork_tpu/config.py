@@ -108,6 +108,9 @@ class FlowConfig:
     hw_k: float = 1.852
     max_iter: int = 60
     tol: float = 1e-14
+    # multi-start escape when the primary solve stalls above tol (the
+    # reference's basinhopping robustness slot); free when converged
+    restarts: int = 2
     linear_solver: str = "dense"             # "dense" | "cg"
     dtype: str = "float64"                   # "float32" on TPU
     # "soa": segments+attrs -> FlowNetwork directly (graphs/soa_path.py);

@@ -138,7 +138,7 @@ def _cg_laplacian_solve(system: FlowSystem, w, rhs, tol=None, maxiter=None):
 
 
 @functools.partial(jax.jit, static_argnames=("max_iter", "linear_solver",
-                                              "refine_steps"))
+                                              "refine_steps", "restarts"))
 def solve_pressure_newton(
     system: FlowSystem,
     p_init: jax.Array | None = None,
@@ -147,11 +147,18 @@ def solve_pressure_newton(
     linear_solver: str = "dense",
     plan=None,
     refine_steps: int | None = None,
+    restarts: int = 0,
 ) -> FlowSolution:
     """Damped Newton solve for interior pressures, then flows/velocities.
 
     ``tol`` is on the max nodal flow imbalance in m^3/s (1e-14 m^3/s =
     1e-8 cm^3/s, far below the reference's accepted errors).
+
+    ``restarts``: bounded multi-start escape (the reference's
+    basinhopping slot): when the primary solve stalls above the
+    dtype's stall floor, up to this many re-solves from randomly
+    rescaled inits run and the best-residual basin wins.  Off by
+    default — keep it 0 under vmap (both cond branches execute there).
 
     ``refine_steps`` appends compensated (double-single) Newton
     iterations after convergence: pressures are carried as an exact
@@ -262,12 +269,50 @@ def solve_pressure_newton(
         return jnp.logical_and(jnp.logical_and(rn > tol, it < max_iter),
                                ~stalled)
 
-    if M > 0:
-        p_unknown, rn, it, _ = jax.lax.while_loop(
-            cond, body, (p_init, norm_r(p_init), jnp.zeros((), jnp.int32),
+    def solve_from(p0):
+        return jax.lax.while_loop(
+            cond, body, (p0, norm_r(p0), jnp.zeros((), jnp.int32),
                          jnp.bool_(False)))
+
+    if M > 0:
+        p_unknown, rn, it, _ = solve_from(p_init)
     else:
         p_unknown, rn, it = p_init, jnp.zeros((), dtype), jnp.zeros((), jnp.int32)
+
+    if restarts and M > 0:
+        # Multi-start escape — the robustness slot the reference fills
+        # with scipy basinhopping (fluidSimulation.py:1746-1752,
+        # 1876-1878).  The pressure formulation is monotone, so Newton
+        # stalls only on numerical conditioning; each restart re-solves
+        # from a randomly rescaled init and the best-residual basin
+        # wins.  The trigger sits above the dtype's normal stall floor
+        # (f32 Newton legitimately stops near ~1e-9 m^3/s before the
+        # compensated refinement), so a healthy solve never pays a
+        # restart.  Note for vmapped callers: lax.cond under vmap
+        # executes both branches, so batched paths should keep
+        # restarts=0.
+        trigger = jnp.maximum(
+            jnp.asarray(tol, dtype),
+            jnp.asarray(1e-8 if dtype == jnp.float32 else 1e-12, dtype))
+
+        def restart(carry, key):
+            p_best, rn_best, it_tot = carry
+
+            def do(_):
+                scale = jax.random.uniform(key, p_init.shape,
+                                           dtype, 0.5, 1.5)
+                p2, rn2, it2, _ = solve_from(p_init * scale)
+                better = rn2 < rn_best
+                return (jnp.where(better, p2, p_best),
+                        jnp.minimum(rn2, rn_best), it_tot + it2)
+
+            return jax.lax.cond(rn_best > trigger, do,
+                                lambda _: (p_best, rn_best, it_tot),
+                                None), None
+
+        keys = jax.random.split(jax.random.PRNGKey(restarts), restarts)
+        (p_unknown, rn, it), _ = jax.lax.scan(
+            restart, (p_unknown, rn, it), keys)
 
     if refine_steps is None:
         refine_steps = 2 if dtype == jnp.float32 else 0

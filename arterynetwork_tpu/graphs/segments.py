@@ -516,13 +516,19 @@ def prune_parallel_arcs(chains, n, radius, factor: float = 3.0,
 
 
 def _chain_mean_radius(chains, radius):
-    """Per-chain mean radius, vectorized (one reduceat instead of a
-    np.mean per chain — the chain count reaches thousands)."""
+    """Per-chain mean radius, vectorized (one cumsum instead of a
+    np.mean per chain — the chain count reaches thousands).
+
+    The f64 cumulative sum is SEQUENTIAL in flat order, so the native
+    extractor reproduces every mean bit-for-bit (reduceat's pairwise
+    float summation would not be portable)."""
     lens = np.fromiter((len(c) for c in chains), np.int64, len(chains))
     flat = np.concatenate([np.asarray(c, np.int64) for c in chains])
+    csum = np.zeros(len(flat) + 1, np.float64)
+    np.cumsum(radius[flat], dtype=np.float64, out=csum[1:])
     starts = np.zeros(len(chains), np.int64)
     np.cumsum(lens[:-1], out=starts[1:])
-    sums = np.add.reduceat(radius[flat], starts)
+    sums = csum[starts + lens] - csum[starts]
     return lens, sums / lens
 
 
@@ -820,20 +826,42 @@ def skeleton_to_segments(skeleton, prune_min_length: int = 0,
     tight-cycle cut, and radius-aware spur pruning (``simplify_chains``).
     """
     a, b, shape = _edges_from_skeleton(skeleton)
-    chains, uniq = _chains_from_edges(a, b)
-    if simplify and distance_transform is not None and len(uniq):
+    if simplify and distance_transform is not None and len(a):
+        uniq = np.unique(np.concatenate([a, b]))
         radius = np.asarray(distance_transform,
                             np.float32).reshape(-1)[uniq]
-        coords = _keys_to_coords(uniq, shape).astype(np.float64)
-        chains = simplify_chains(chains, len(uniq), radius,
-                                 min_length=max(prune_min_length, 3),
-                                 collapse=collapse,
-                                 radius_factor=radius_factor,
-                                 cycle_tight_ratio=cycle_tight_ratio,
-                                 rounds=simplify_rounds,
-                                 bridge_max_len=bridge_max_len,
-                                 coords=coords)
-    elif prune_min_length > 0:
+        coords_i = _keys_to_coords(uniq, shape)
+        chains = None
+        try:
+            # native extractor (graph_ops.cpp): the whole walk +
+            # simplification pipeline, bit-exact with the Python passes
+            # (~20x on the 1-core host); fall through on any build
+            # failure
+            from ..ops.native import simplify_chains_native
+            chains = simplify_chains_native(
+                np.searchsorted(uniq, a), np.searchsorted(uniq, b),
+                len(uniq), radius, coords=coords_i,
+                min_length=max(prune_min_length, 3), collapse=collapse,
+                radius_factor=radius_factor,
+                cycle_tight_ratio=cycle_tight_ratio,
+                rounds=simplify_rounds, bridge_max_len=bridge_max_len)
+        except Exception:
+            chains = None
+        if chains is None:
+            chains, uniq = _chains_from_edges(a, b)
+            chains = simplify_chains(chains, len(uniq), radius,
+                                     min_length=max(prune_min_length, 3),
+                                     collapse=collapse,
+                                     radius_factor=radius_factor,
+                                     cycle_tight_ratio=cycle_tight_ratio,
+                                     rounds=simplify_rounds,
+                                     bridge_max_len=bridge_max_len,
+                                     coords=coords_i.astype(np.float64))
+        segments = _chains_to_tuple_segments(chains, uniq, shape, origin)
+        G = segments_to_graph(segments) if build_graph else None
+        return G, segments
+    chains, uniq = _chains_from_edges(a, b)
+    if prune_min_length > 0:
         chains = _prune_chains(chains, len(uniq),
                                min_length=prune_min_length)
     segments = _chains_to_tuple_segments(chains, uniq, shape, origin)

@@ -17,7 +17,8 @@ import numpy as np
 _NATIVE_DIR = os.path.join(os.path.dirname(os.path.dirname(
     os.path.dirname(os.path.abspath(__file__)))), "native")
 _SRCS = [os.path.join(_NATIVE_DIR, "thinning.cpp"),
-         os.path.join(_NATIVE_DIR, "volume_ops.cpp")]
+         os.path.join(_NATIVE_DIR, "volume_ops.cpp"),
+         os.path.join(_NATIVE_DIR, "graph_ops.cpp")]
 _SO = os.path.join(_NATIVE_DIR, "libnative.so")
 
 _lib = None
@@ -103,6 +104,24 @@ def get_lib():
         ctypes.c_long,
         ctypes.POINTER(ctypes.c_int64),
         ctypes.c_long,
+    ]
+    lib.simplify_chains_native.restype = ctypes.c_long
+    lib.simplify_chains_native.argtypes = [
+        ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
+        ctypes.c_long, ctypes.c_long,
+        ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_int32),
+        ctypes.c_long, ctypes.c_int, ctypes.c_double,
+        ctypes.c_double, ctypes.c_int,
+        ctypes.c_long, ctypes.c_double, ctypes.c_double,
+        ctypes.POINTER(ctypes.c_int64), ctypes.c_long,
+        ctypes.POINTER(ctypes.c_int64), ctypes.c_long,
+    ]
+    lib.chains_from_edges_native.restype = ctypes.c_long
+    lib.chains_from_edges_native.argtypes = [
+        ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
+        ctypes.c_long, ctypes.c_long,
+        ctypes.POINTER(ctypes.c_int64), ctypes.c_long,
+        ctypes.POINTER(ctypes.c_int64), ctypes.c_long,
     ]
     lib.bqn_pack_f32.restype = None
     lib.bqn_pack_f32.argtypes = [
@@ -404,6 +423,68 @@ def nonzero_flat_native(vol, expect: int = 0) -> np.ndarray:
 def simple_point_native(code: int) -> bool:
     """Simple-point oracle for a 26-bit neighborhood code."""
     return bool(get_lib().simple_point_code(ctypes.c_uint32(code)))
+
+
+def _unpack_chains(flat, offsets, count):
+    flat_l = flat.tolist()
+    off_l = offsets[:count + 1].tolist()
+    return [flat_l[off_l[i]:off_l[i + 1]] for i in range(count)]
+
+
+def simplify_chains_native(a, b, n, radius, coords=None, min_length=3,
+                           collapse=True, radius_factor=2.5,
+                           cycle_tight_ratio=16.0, rounds=3,
+                           bridge_max_len=13, cover_tol=4.0,
+                           cover_radius_factor=1.0):
+    """Native chain walk + full simplification (graphs/segments.py's
+    simplify_chains, bit-exact — every ordering/tie-break mirrored).
+    ``a``/``b``: int64 edge vertex indices in [0, n); ``radius``: f32
+    per vertex; ``coords``: int32 (n, 3) voxel coords (enables the
+    bridge audit's coverage gate).  Returns chains as lists of ints."""
+    a = np.ascontiguousarray(a, np.int64)
+    b = np.ascontiguousarray(b, np.int64)
+    radius = np.ascontiguousarray(radius, np.float32)
+    E = len(a)
+    flat = np.empty(max(4 * E + 16, 64), np.int64)
+    offsets = np.empty(E + 2, np.int64)
+    cptr = ctypes.POINTER(ctypes.c_int32)()
+    if coords is not None:
+        coords = np.ascontiguousarray(coords, np.int32)
+        cptr = coords.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
+    count = get_lib().simplify_chains_native(
+        a.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        b.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        E, int(n),
+        radius.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), cptr,
+        int(min_length), int(bool(collapse)), float(radius_factor),
+        float(cycle_tight_ratio), int(rounds),
+        int(bridge_max_len), float(cover_tol),
+        float(cover_radius_factor),
+        flat.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)), len(flat),
+        offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        len(offsets))
+    if count < 0:
+        raise RuntimeError("simplify_chains_native: buffer overflow")
+    return _unpack_chains(flat, offsets, count)
+
+
+def chains_from_edges_native(a, b, n):
+    """Native plain chain walk (no simplification)."""
+    a = np.ascontiguousarray(a, np.int64)
+    b = np.ascontiguousarray(b, np.int64)
+    E = len(a)
+    flat = np.empty(max(4 * E + 16, 64), np.int64)
+    offsets = np.empty(E + 2, np.int64)
+    count = get_lib().chains_from_edges_native(
+        a.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        b.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        E, int(n),
+        flat.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)), len(flat),
+        offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        len(offsets))
+    if count < 0:
+        raise RuntimeError("chains_from_edges_native: buffer overflow")
+    return _unpack_chains(flat, offsets, count)
 
 
 def bq_pack_native(slab: np.ndarray, bits: int = 4):

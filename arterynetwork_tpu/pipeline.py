@@ -516,7 +516,8 @@ def _solve_network(net, node_of, cfg, store=None, boundary_pressure=None,
         from .flow.tree_solver import plan_elimination
         plan = plan_elimination(system)
     sol = solve_pressure_newton(system, max_iter=cfg.max_iter, tol=cfg.tol,
-                                linear_solver=cfg.linear_solver, plan=plan)
+                                linear_solver=cfg.linear_solver, plan=plan,
+                                restarts=cfg.restarts)
     # single device->host read: each transfer pays the ~25 ms tunnel
     # roundtrip regardless of size, so fetch the solution as one pytree
     pressure, flow, velocity = _jax.device_get(

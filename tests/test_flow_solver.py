@@ -87,6 +87,30 @@ def test_f32_refined_pressure_parity(allow_merge):
     assert err < err0
 
 
+def test_multi_start_restarts():
+    """The basinhopping-slot escape: a healthy solve is unchanged by
+    restarts (the trigger never fires); a starved solve keeps the best
+    basin across restarts (residual monotonically <= single-start)."""
+    import jax.numpy as jnp
+
+    net = _tree(max_depth=8, k=1.852, seed=21)
+    gt = create_ground_truth(net, option=2, rng=np.random.default_rng(3))
+    assert gt.success
+    system = build_system(net, boundary_pressure=gt.pressure,
+                          dtype=jnp.float32)
+    base = solve_pressure_newton(system, max_iter=60, tol=1e-9)
+    with_r = solve_pressure_newton(system, max_iter=60, tol=1e-9,
+                                   restarts=2)
+    np.testing.assert_array_equal(np.asarray(base.pressure),
+                                  np.asarray(with_r.pressure))
+
+    starved0 = solve_pressure_newton(system, max_iter=2, tol=1e-9,
+                                     refine_steps=0)
+    starved3 = solve_pressure_newton(system, max_iter=2, tol=1e-9,
+                                     refine_steps=0, restarts=3)
+    assert float(starved3.residual_norm) <= float(starved0.residual_norm)
+
+
 def test_poiseuille_linear_solve_exact():
     """k=1 networks solve in a single Newton step (graph Laplacian solve)."""
     net = _tree(max_depth=7, k=1.0, seed=3)

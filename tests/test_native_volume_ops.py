@@ -226,3 +226,39 @@ def test_pack_mask_round_trip():
     packed = np.asarray(pack_mask(jnp.asarray(m)))
     np.testing.assert_array_equal(packed, np.packbits(m.reshape(-1)))
     np.testing.assert_array_equal(mask_to_host(jnp.asarray(m)), m)
+
+
+def test_simplify_chains_native_matches_python():
+    """graph_ops.cpp simplify == graphs/segments.simplify_chains, chain
+    for chain in order (every tie-break mirrored), on a realistic
+    thinned phantom skeleton with the full pass stack on."""
+    from arterynetwork_tpu.graphs.segments import (
+        _chains_from_edges, _edges_from_skeleton, _keys_to_coords,
+        simplify_chains)
+    from arterynetwork_tpu.ops.native import (chains_from_edges_native,
+                                              simplify_chains_native,
+                                              skeletonize_native)
+    from arterynetwork_tpu.utils.phantoms import vascular_tree_phantom
+
+    ph = vascular_tree_phantom((96, 96, 64), n_branches=30,
+                               root_radius=4.0, seed=5)
+    skel = np.asarray(skeletonize_native(ph["mask"]), bool)
+    from scipy.ndimage import distance_transform_edt
+    dt = distance_transform_edt(ph["mask"]).astype(np.float32)
+
+    a, b, shape = _edges_from_skeleton(skel)
+    chains, uniq = _chains_from_edges(a, b)
+    radius = dt.reshape(-1)[uniq]
+    coords = _keys_to_coords(uniq, shape)
+    py = simplify_chains(chains, len(uniq), radius, min_length=4,
+                         coords=coords.astype(np.float64))
+    ai = np.searchsorted(uniq, a)
+    bi = np.searchsorted(uniq, b)
+    nat = simplify_chains_native(ai, bi, len(uniq), radius,
+                                 coords=coords, min_length=4)
+    assert [list(c) for c in py] == [list(c) for c in nat]
+
+    # the plain walk matches too (order included)
+    walk_py = _chains_from_edges(a, b)[0]
+    walk_nat = chains_from_edges_native(ai, bi, len(uniq))
+    assert [list(c) for c in walk_py] == [list(c) for c in walk_nat]
