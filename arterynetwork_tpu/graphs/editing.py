@@ -162,8 +162,15 @@ class CorrectionSession:
                 a = a if a[-1] == endpoint else a[::-1]
                 b = b if b[0] == endpoint else b[::-1]
                 merged = list(a) + list(b)[1:]
-                removed[ia] = None
-                removed[ib] = None
+                for idx in (ia, ib):
+                    # a cascaded merge can consume a segment this same
+                    # event just created; that intermediate never existed
+                    # before the event, so drop it from `added` instead
+                    # of recording it as removed
+                    if idx in added:
+                        del added[idx]
+                    else:
+                        removed[idx] = None
                 added[self._next_index] = merged
                 self._next_index += 1
                 others = {i: s for i, s in others.items()
@@ -267,3 +274,83 @@ class CorrectionSession:
         store.save_graphml("graphRepresentationCleaned.graphml",
                            segments_to_graph(cleaned))
         return cleaned
+
+
+def audit_junction_bridges(session: CorrectionSession,
+                           distance_transform=None,
+                           max_len: int = 13, cover_tol: float = 4.0,
+                           cover_radius_factor: float = 1.0) -> List[dict]:
+    """Apply the junction-bridge audit THROUGH the editing engine.
+
+    Finds the same artifacts as ``graphs.segments.prune_junction_bridges``
+    (short junction-junction segments on a cycle whose geometry the
+    surviving segments already cover — same-branch thinning loops and
+    kissing-vessel necks) but removes them as ordinary ``remove`` events
+    on the session, so each cut is undoable, persists in
+    ``eventList.pkl`` and replays on load — the reference's manual
+    remove+merge workflow (manualCorrectionGUIDetail.py:266-374), driven
+    automatically.  Returns the list of events it recorded.
+
+    ``distance_transform`` (full-frame EDT) orders candidates
+    weakest-mean-radius first and enables the radius-scaled coverage
+    tolerance; without it candidates are tried shortest-first with the
+    flat tolerance.
+    """
+    from scipy.spatial import cKDTree
+
+    events: List[dict] = []
+    dt = None if distance_transform is None \
+        else np.asarray(distance_transform)
+
+    def mean_radius(seg):
+        if dt is None:
+            return 0.0
+        idx = np.asarray(seg, np.int64)
+        return float(np.mean(dt[idx[:, 0], idx[:, 1], idx[:, 2]]))
+
+    changed = True
+    while changed:
+        changed = False
+        items = list(session.segments.items())
+        end_count: Dict[Voxel, int] = {}
+        for _, seg in items:
+            for v in (seg[0], seg[-1]):
+                end_count[v] = end_count.get(v, 0) + 1
+        cand = [(i, seg) for i, seg in items
+                if seg[0] != seg[-1] and len(seg) <= max_len
+                and end_count.get(seg[0], 0) >= 3
+                and end_count.get(seg[-1], 0) >= 3]
+        cand.sort(key=lambda t: (mean_radius(t[1]), -len(t[1]), t[0]))
+        all_pts = np.asarray([v for _, seg in items for v in seg],
+                             np.float64)
+        all_src = np.asarray([i for i, seg in items for _ in seg],
+                             np.int64)
+        tree = cKDTree(all_pts) if len(all_pts) else None
+        for i, seg in cand:
+            if i not in session.segments:
+                continue
+            others = segments_to_graph(
+                [s for j, s in session.segments.items() if j != i])
+            u, v = seg[0], seg[-1]
+            if u not in others or v not in others \
+                    or not nx.has_path(others, u, v):
+                continue
+            if tree is not None and len(seg) > 2:
+                tol = max(cover_tol,
+                          cover_radius_factor * mean_radius(seg))
+                own_pts = set(map(tuple, seg))
+                covered = True
+                for w in seg[1:-1]:
+                    hits = tree.query_ball_point(np.asarray(w, float),
+                                                 r=tol)
+                    if not any(all_src[h] != i
+                               and tuple(all_pts[h].astype(int))
+                               not in own_pts for h in hits):
+                        covered = False
+                        break
+                if not covered:
+                    continue
+            events.append(session.remove_segment(i))
+            changed = True
+            break   # segment indices shifted: rebuild candidate state
+    return events

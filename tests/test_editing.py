@@ -86,6 +86,65 @@ def test_grow_extends_terminal():
     assert len(new) == 1 and len(new[0]) == len(segs[0]) + 2
 
 
+def _twin_arc_segments():
+    """Trunk 0..30 on x with a short redundant twin arc spanning the
+    (10,0,0)-(14,0,0) stretch — the same-branch thinning-loop artifact."""
+    trunk = [(i, 0, 0) for i in range(31)]
+    twin = [(10, 0, 0), (11, 1, 0), (12, 1, 0), (13, 1, 0), (14, 0, 0)]
+    return [trunk[:11], trunk[10:15], trunk[14:], twin]
+
+
+def test_audit_junction_bridges_cuts_twin_as_replayable_events():
+    """The automated junction audit runs THROUGH the editing engine:
+    the redundant twin arc is removed as ordinary remove events that
+    replay and undo exactly (the reference's manual remove+merge
+    workflow, driven automatically)."""
+    from arterynetwork_tpu.graphs.editing import audit_junction_bridges
+
+    segs = _twin_arc_segments()
+    dt = np.ones((31, 8, 4), np.float32)
+    for v in segs[3]:
+        dt[v] = 0.5                      # twin arc is weaker
+
+    s = CorrectionSession(segs)
+    before = {i: list(seg) for i, seg in s.segments.items()}
+    events = audit_junction_bridges(s, distance_transform=dt)
+    assert len(events) >= 1
+    remaining = s.segment_list()
+    flat = {v for seg in remaining for v in seg}
+    assert (11, 1, 0) not in flat        # twin gone
+    assert len(remaining) == 1           # junctions merged through
+    assert set(remaining[0]) == {(i, 0, 0) for i in range(31)}
+
+    # events are ordinary session events: replay reproduces, undo inverts
+    s2 = CorrectionSession(segs)
+    s2.replay([dict(e) for e in s.events])
+    assert {i: list(v) for i, v in s2.segments.items()} == \
+        {i: list(v) for i, v in s.segments.items()}
+    for _ in range(len(s.events)):
+        s.undo()
+    assert {i: list(seg) for i, seg in s.segments.items()} == before
+
+
+def test_audit_junction_bridges_keeps_uncovered_real_branch():
+    """A short junction-junction arc on a cycle survives when no other
+    segment covers its geometry (a real collateral, not an artifact)."""
+    from arterynetwork_tpu.graphs.editing import audit_junction_bridges
+
+    bottom = [(i, 0, 0) for i in range(11)]
+    right = [(10, j, 0) for j in range(11)]
+    top = [(i, 10, 0) for i in range(10, -1, -1)]
+    left = [(0, j, 0) for j in range(10, -1, -1)]
+    stub_a = [(0, 0, 0), (0, 0, 1), (0, 0, 2), (0, 0, 3)]
+    stub_b = [(10, 0, 0), (10, 0, 1), (10, 0, 2), (10, 0, 3)]
+    segs = [bottom, right, top, left, stub_a, stub_b]
+
+    s = CorrectionSession(segs)
+    events = audit_junction_bridges(s)
+    assert events == []
+    assert len(s.segment_list()) == len(segs)
+
+
 def test_save_contract(tmp_path):
     store = ArtifactStore(str(tmp_path))
     segs = _x_segments()
