@@ -97,37 +97,69 @@ def compute_branch_attrs(segments_old: Sequence[Sequence],
         in_old = (old_keys[pos] == keys_all) if len(old_keys) else \
             np.zeros(len(keys_all), bool)
 
+    # all per-segment reductions run as bincounts over a segment-id
+    # vector (one pass each) instead of ~10 small numpy calls per
+    # segment — the loop was the graph stage's last Python hot spot
+    lens = np.fromiter((len(c) for c in segs), np.int64, n_seg)
+    ofs_of = np.concatenate([[0], np.cumsum(lens)])
+    seg_id = np.repeat(np.arange(n_seg), lens)
+
+    link = (deg_all == 2) & in_old
+    if len(link):
+        link[ofs_of[:-1]] = False       # ends are junction/tip slots
+        link[ofs_of[1:] - 1] = False
+    lid = seg_id[link]
+    cnt = np.bincount(lid, minlength=n_seg)
+    safe = np.maximum(cnt, 1)
+    mean_l = np.bincount(lid, weights=radii_all[link],
+                         minlength=n_seg) / safe
+    dev2 = (radii_all[link] - mean_l[lid]) ** 2
+    sigma_l = np.sqrt(np.bincount(lid, weights=dev2,
+                                  minlength=n_seg) / safe)
+
+    # zero-mean fallback: average the branch's nonzero radii
+    nzm = radii_all != 0
+    nid = seg_id[nzm]
+    cnt_nz = np.bincount(nid, minlength=n_seg)
+    safe_nz = np.maximum(cnt_nz, 1)
+    mean_nz = np.bincount(nid, weights=radii_all[nzm],
+                          minlength=n_seg) / safe_nz
+    dev2_nz = (radii_all[nzm] - mean_nz[nid]) ** 2
+    sigma_nz = np.sqrt(np.bincount(nid, weights=dev2_nz,
+                                   minlength=n_seg) / safe_nz)
+    use_nz = (mean_l == 0) & (cnt_nz > 0)
+    mean_seg = np.where(use_nz, mean_nz, mean_l)
+    sigma_seg = np.where(use_nz, sigma_nz, sigma_l)
+
+    # path metrics: one diff over the concatenation, segment-boundary
+    # steps masked out
+    cf = all_coords.astype(float)
+    if len(cf) > 1:
+        steps = np.sqrt(((cf[1:] - cf[:-1]) ** 2).sum(axis=1))
+        same = seg_id[1:] == seg_id[:-1]
+        pl_seg = np.bincount(seg_id[1:][same], weights=steps[same],
+                             minlength=n_seg)
+    else:
+        pl_seg = np.zeros(n_seg)
+    if n_seg:
+        el_seg = norm(cf[ofs_of[1:] - 1] - cf[ofs_of[:-1]], axis=1)
+    else:
+        el_seg = np.zeros(0)
+
     attrs: List[Dict] = [None] * n_seg
     short_or_new: List[int] = []
-    ofs = 0
-    for idx, c in enumerate(segs):
-        L = len(c)
-        sl = slice(ofs, ofs + L)
-        ofs += L
-        if L == 2:
+    for idx in range(n_seg):
+        if lens[idx] == 2 or cnt[idx] == 0:
             short_or_new.append(idx)
             continue
-        link = (deg_all[sl] == 2) & in_old[sl]
-        link[0] = link[-1] = False  # ends are junction/tip slots
-        r = radii_all[sl]
-        lr = r[link]
-        if lr.size == 0:
-            short_or_new.append(idx)
-            continue
-        mean_radius = float(lr.mean())
-        sigma = float(lr.std())
-        if mean_radius == 0:
-            nz = r[r != 0]
-            if nz.size:
-                mean_radius = float(nz.mean())
-                sigma = float(nz.std())
-        d = np.diff(c.astype(float), axis=0)
-        pl = float(np.sqrt((d * d).sum(axis=1)).sum())
-        el = float(norm(c[-1].astype(float) - c[0].astype(float)))
+        pl = float(pl_seg[idx])
+        el = float(el_seg[idx])
         attrs[idx] = dict(pathLength=pl, eculideanLength=el,
                           tortuosity=pl / el if el > 0 else 1.0,
-                          voxelLength=int(L), meanRadius=mean_radius,
-                          sigma=sigma, segmentIndex=int(idx))
+                          voxelLength=int(lens[idx]),
+                          meanRadius=float(mean_seg[idx]),
+                          sigma=float(sigma_seg[idx]),
+                          segmentIndex=int(idx))
 
     # 2-voxel / brand-new branches: average the neighbor branches' radii
     # (manualCorrectionGUI.py:315-374).  Endpoint -> incident measured

@@ -430,10 +430,22 @@ Chains prune_junction_bridges(Chains chains, int64_t n,
                         all_v.end());
             for (int64_t v : all_v) grid.insert(v);
         }
+        // epoch-stamped visit marks + a persistent dropped-vertex mark:
+        // vertex ids are compact (< n), so flat arrays replace the
+        // per-candidate unordered_sets that dominated this pass
+        std::vector<int64_t> seen_epoch(n, -1);
+        std::vector<int64_t> queue;
+        int64_t epoch = 0;
+        // own_mark[v] = epoch while v is on the current candidate, or
+        // DROPPED (permanent) once v's chain has been removed
+        constexpr int64_t kDropped = INT64_MAX;
+        std::vector<int64_t> own_mark(n, -1);
         auto connected_without = [&](size_t skip, int64_t u, int64_t v) {
             removed[skip] = 1;
-            std::unordered_set<int64_t> seen{u};
-            std::vector<int64_t> queue{u};
+            ++epoch;
+            seen_epoch[u] = epoch;
+            queue.clear();
+            queue.push_back(u);
             bool found = false;
             while (!queue.empty() && !found) {
                 int64_t x = queue.back(); queue.pop_back();
@@ -442,22 +454,29 @@ Chains prune_junction_bridges(Chains chains, int64_t n,
                 for (const auto& [y, ci] : itx->second) {
                     if (removed[ci]) continue;
                     if (y == v) { found = true; break; }
-                    if (seen.insert(y).second) queue.push_back(y);
+                    if (seen_epoch[y] != epoch) {
+                        seen_epoch[y] = epoch;
+                        queue.push_back(y);
+                    }
                 }
             }
             removed[skip] = 0;
             return found;
         };
+        int64_t own_epoch = 0;
         for (size_t i : cand) {
             int64_t u = chains[i].front(), v = chains[i].back();
             if (!connected_without(i, u, v)) continue;
             if (coords != nullptr && chains[i].size() > 2) {
                 double tol = std::max(cover_tol,
                                       cover_radius_factor * means[i]);
-                std::unordered_set<int64_t> own(chains[i].begin(),
-                                                chains[i].end());
-                for (size_t j : dropped)
-                    own.insert(chains[j].begin(), chains[j].end());
+                ++own_epoch;
+                for (int64_t w : chains[i])
+                    if (own_mark[w] != kDropped) own_mark[w] = own_epoch;
+                auto is_own = [&](int64_t q) {
+                    return own_mark[q] == own_epoch
+                        || own_mark[q] == kDropped;
+                };
                 bool covered = true;
                 int64_t cells_r = (int64_t)std::floor(tol / grid.cell) + 1;
                 for (size_t t = 1; t + 1 < chains[i].size(); ++t) {
@@ -479,7 +498,7 @@ Chains prune_junction_bridges(Chains chains, int64_t n,
                                 auto itc = grid.cells.find(key);
                                 if (itc == grid.cells.end()) continue;
                                 for (int64_t q : itc->second) {
-                                    if (own.count(q)) continue;
+                                    if (is_own(q)) continue;
                                     double ddx = coords[3 * q] - wx;
                                     double ddy = coords[3 * q + 1] - wy;
                                     double ddz = coords[3 * q + 2] - wz;
@@ -494,6 +513,7 @@ Chains prune_junction_bridges(Chains chains, int64_t n,
             }
             removed[i] = 1;
             dropped.push_back(i);
+            for (int64_t w : chains[i]) own_mark[w] = kDropped;
         }
         if (dropped.empty()) break;
         Chains kept;
