@@ -12,7 +12,7 @@ voxels*:
   no boundary can only gain one through a neighboring flip).
 * Each iteration compacts the active tile ids (``jnp.nonzero`` with a
   static bound) and launches ONE Pallas kernel over them with a
-  TWO-PHASE grid (``PrefetchScalarGridSpec``, grid = (2, k_max)):
+  TWO-PHASE grid (``PrefetchScalarGridSpec``, grid = (2, ceil(k/nb))):
   phase 0 snapshots every active tile's halo'd segmentation box into an
   HBM scratch buffer; phase 1 re-reads the snapshot into VMEM,
   evaluates the boundary + flip rule, and writes the updated interior
@@ -21,6 +21,10 @@ voxels*:
   sees the previous iteration's state — exact Jacobi semantics without
   a full-volume double-buffer copy per iteration (the copy cost more
   than the snapshots: only active tiles are snapshotted).
+* ``nb`` tiles are processed per grid step, stacked along z in one VMEM
+  box (clamped to the scoped-VMEM budget): the fixed per-step cost —
+  grid sequencing, scalar address math, DMA issue — amortizes over nb
+  tiles, which is what broke the ~4 us/tile per-iteration floor.
 * Region statistics are maintained incrementally: ``inner_hist`` is
   updated from the per-iteration flip deltas, so no full-volume
   histogram is ever recomputed; the flip decision table (the sign of
@@ -93,7 +97,7 @@ def _sum27(x):
     return x
 
 
-def _frontier_kernel(TZ, TY, Xp, n_ty, num_bins,
+def _frontier_kernel(TZ, TY, Xp, n_ty, num_bins, NB,
                      ids_ref, nact_ref,              # scalar prefetch
                      seg_in, bins_in, words_ref,     # inputs
                      seg_out, snap_ref, dhist_ref, flags_ref,  # outputs
@@ -106,14 +110,22 @@ def _frontier_kernel(TZ, TY, Xp, n_ty, num_bins,
     # which is what keeps the sweep Jacobi (no tile ever reads a
     # same-iteration neighbor write through its halo).
     #
+    # Each grid step processes NB tiles at once, stacked along the z
+    # axis of one VMEM box: the vector ops amortize over NB tiles and
+    # the fixed per-step cost (grid sequencing, scalar work, DMA issue)
+    # is paid once per NB tiles.  Tile k's interior rows only ever read
+    # rows of k's own halo'd sub-box, so the stacked _sum27 rolls never
+    # couple neighboring tiles in the stack.
+    #
     # All DMAs are double-buffered on step parity: snapshots overlap each
     # other; phase-1 step i prefetches step i+1's inputs into the other
-    # buffer pair and leaves its own writeback in flight, waited one step
-    # later (or at the final step).  This hides most of the per-tile DMA
-    # latency behind compute.
+    # buffer pair and leaves its own writebacks in flight, waited one
+    # step later (or at the final step).  This hides most of the
+    # per-tile DMA latency behind compute.
     del seg_in
     R = TY + 2 * PADY
     BZ = TZ + 2
+    NBZ = NB * BZ
     W = num_bins // 32
     phase = pl.program_id(0)
     step = pl.program_id(1)
@@ -121,18 +133,17 @@ def _frontier_kernel(TZ, TY, Xp, n_ty, num_bins,
     nact = nact_ref[0]
     par = step & 1
 
-    def tile_zy(s):
-        tid = ids_ref[s]
+    def slot_of(s, k):
+        return s * NB + k
+
+    def tile_zy(slot):
+        tid = ids_ref[slot]
         nty32 = jnp.int32(n_ty)
         tz = (tid // nty32).astype(jnp.int32)
         ty = (tid % nty32).astype(jnp.int32)
         # (global z of the interior start, window start in the padded
         #  array == global y of the interior start)
         return tz * jnp.int32(TZ), ty * jnp.int32(TY)
-
-    z0, y0 = tile_zy(step)
-
-    valid = step < nact
 
     @pl.when((phase == 0) & (step == 0))
     def _():
@@ -142,61 +153,78 @@ def _frontier_kernel(TZ, TY, Xp, n_ty, num_bins,
     def _():
         # SMEM stores are scalar-only: zero this step's flag slots here
         # (phase 0 visits every step, including the invalid tail)
-        flags_ref[step, 0] = 0
-        flags_ref[step, 1] = 0
+        for k in range(NB):
+            flags_ref[slot_of(step, k), 0] = 0
+            flags_ref[slot_of(step, k), 1] = 0
 
-    def snap_copy(s, z, y):
+    def snap_copy(slot, z, y, sp, k):
         return pltpu.make_async_copy(
             seg_out.at[pl.ds(z, BZ), pl.ds(y, R), :],
-            snap_ref.at[s], snap_sems.at[s & 1])
+            snap_ref.at[slot], snap_sems.at[sp, k])
 
-    @pl.when(valid & (phase == 0))
-    def _():
-        snap_copy(step, z0, y0).start()
+    for k in range(NB):
+        @pl.when((phase == 0) & (slot_of(step, k) < nact))
+        def _(k=k):
+            z, y = tile_zy(slot_of(step, k))
+            snap_copy(slot_of(step, k), z, y, par, k).start()
 
-    @pl.when((phase == 0) & (step >= 1) & (step - 1 < nact))
-    def _():
-        pz, py = tile_zy(step - 1)
-        snap_copy(step - 1, pz, py).wait()
+        @pl.when((phase == 0) & (step >= 1)
+                 & (slot_of(step - 1, k) < nact))
+        def _(k=k):
+            z, y = tile_zy(slot_of(step - 1, k))
+            snap_copy(slot_of(step - 1, k), z, y, 1 - par, k).wait()
 
-    @pl.when((phase == 0) & (step == n_steps - 1) & valid)
-    def _():
-        snap_copy(step, z0, y0).wait()
+        @pl.when((phase == 0) & (step == n_steps - 1)
+                 & (slot_of(step, k) < nact))
+        def _(k=k):
+            z, y = tile_zy(slot_of(step, k))
+            snap_copy(slot_of(step, k), z, y, par, k).wait()
 
-    def in_copies(s, z, y, p):
-        return (pltpu.make_async_copy(snap_ref.at[s], seg_box.at[p],
-                                      in_seg_sems.at[p]),
+    def in_copies(slot, z, y, p, k):
+        return (pltpu.make_async_copy(snap_ref.at[slot],
+                                      seg_box.at[p, pl.ds(k * BZ, BZ)],
+                                      in_seg_sems.at[p, k]),
                 pltpu.make_async_copy(
                     bins_in.at[pl.ds(z, BZ), pl.ds(y, R), :],
-                    bin_box.at[p], in_bin_sems.at[p]))
+                    bin_box.at[p, pl.ds(k * BZ, BZ)],
+                    in_bin_sems.at[p, k]))
 
-    @pl.when((phase == 1) & (step == 0) & valid)
-    def _():
-        a, c = in_copies(0, z0, y0, 0)
-        a.start()
-        c.start()
+    for k in range(NB):
+        @pl.when((phase == 1) & (step == 0) & (slot_of(0, k) < nact))
+        def _(k=k):
+            z, y = tile_zy(slot_of(0, k))
+            a, c = in_copies(slot_of(0, k), z, y, 0, k)
+            a.start()
+            c.start()
 
-    # writeback of step-1 completes before its buffers are reused
-    @pl.when((phase == 1) & (step >= 1) & (step - 1 < nact))
-    def _():
-        pz, py = tile_zy(step - 1)
-        pltpu.make_async_copy(
-            seg_box.at[(step - 1) & 1, pl.ds(1, TZ), pl.ds(PADY, TY), :],
-            seg_out.at[pl.ds(pz + 1, TZ), pl.ds(py + PADY, TY), :],
-            out_sems.at[(step - 1) & 1]).wait()
+        # writeback of step-1's tile k completes before its buffer
+        # region is reused by the step+1 prefetch just below
+        @pl.when((phase == 1) & (step >= 1)
+                 & (slot_of(step - 1, k) < nact))
+        def _(k=k):
+            pz, py = tile_zy(slot_of(step - 1, k))
+            pltpu.make_async_copy(
+                seg_box.at[1 - par, pl.ds(k * BZ + 1, TZ),
+                           pl.ds(PADY, TY), :],
+                seg_out.at[pl.ds(pz + 1, TZ), pl.ds(py + PADY, TY), :],
+                out_sems.at[1 - par, k]).wait()
 
-    @pl.when((phase == 1) & (step + 1 < nact))
-    def _():
-        nz_, ny_ = tile_zy(step + 1)
-        a, c = in_copies(step + 1, nz_, ny_, 1 - par)
-        a.start()
-        c.start()
+        @pl.when((phase == 1) & (slot_of(step + 1, k) < nact))
+        def _(k=k):
+            nz_, ny_ = tile_zy(slot_of(step + 1, k))
+            a, c = in_copies(slot_of(step + 1, k), nz_, ny_, 1 - par, k)
+            a.start()
+            c.start()
 
-    @pl.when(valid & (phase == 1))
+    @pl.when((phase == 1) & (slot_of(step, 0) < nact))
     def _():
-        a, c = in_copies(step, z0, y0, par)
-        a.wait()
-        c.wait()
+        for k in range(NB):
+            @pl.when(slot_of(step, k) < nact)
+            def _(k=k):
+                z, y = tile_zy(slot_of(step, k))
+                a, c = in_copies(slot_of(step, k), z, y, par, k)
+                a.wait()
+                c.wait()
 
         # int32 mask algebra throughout (3D i1 relayouts are fragile)
         segi = (seg_box[par] != 0).astype(jnp.int32)
@@ -205,11 +233,19 @@ def _frontier_kernel(TZ, TY, Xp, n_ty, num_bins,
         inside = (packed >> 8) & 1   # inside-volume flag
         n27_in = packed >> 9         # 27-neighborhood inside count
 
-        # interior of the tile in box-local coordinates (static pattern)
-        liz = jax.lax.broadcasted_iota(jnp.int32, (BZ, R, Xp), 0)
-        liy = jax.lax.broadcasted_iota(jnp.int32, (BZ, R, Xp), 1)
-        interior = ((liz >= 1) & (liz < 1 + TZ)
-                    & (liy >= PADY) & (liy < PADY + TY)).astype(jnp.int32)
+        # per-tile interiors in box-local coordinates (static pattern);
+        # invalid trailing slots of the final step fold into this mask,
+        # so their stale buffer contents never reach flips/flags/acc
+        liz = jax.lax.broadcasted_iota(jnp.int32, (NBZ, R, Xp), 0)
+        liy = jax.lax.broadcasted_iota(jnp.int32, (NBZ, R, Xp), 1)
+        in_y = ((liy >= PADY) & (liy < PADY + TY)).astype(jnp.int32)
+        interior = jnp.zeros((NBZ, R, Xp), jnp.int32)
+        for k in range(NB):
+            tzm = ((liz >= k * BZ + 1)
+                   & (liz < k * BZ + 1 + TZ)).astype(jnp.int32)
+            vk = jnp.where(slot_of(step, k) < nact, 1, 0)
+            interior = interior + tzm * vk
+        interior = interior * in_y
 
         # boundary test from ONE separable neighbor sum: seg <= inside,
         # so sum27(unseg) = n27_in - sum27(seg)
@@ -222,7 +258,7 @@ def _frontier_kernel(TZ, TY, Xp, n_ty, num_bins,
         # flip rule: sign of innerProbNorm - outerProbNorm at the
         # voxel's bin, unpacked from packed sign words (no gather)
         wsel = binv >> 5
-        sel = jnp.zeros((BZ, R, Xp), jnp.int32)
+        sel = jnp.zeros((NBZ, R, Xp), jnp.int32)
         for k in range(W):
             sel = jnp.where(wsel == k, words_ref[0, k], sel)
         ge = (sel >> (binv & 31)) & 1
@@ -231,18 +267,28 @@ def _frontier_kernel(TZ, TY, Xp, n_ty, num_bins,
         seg_new = jnp.bitwise_xor(segi, flips)
         n_flips = jnp.sum(jnp.sum(flips, axis=0))
 
-        flags_ref[step, 0] = n_flips
-        flags_ref[step, 1] = jnp.max(jnp.max(bnd, axis=0))
+        for k in range(NB):
+            sl = slice(k * BZ, (k + 1) * BZ)
+            flags_ref[slot_of(step, k), 0] = jnp.sum(
+                jnp.sum(flips[sl], axis=0))
+            flags_ref[slot_of(step, k), 1] = jnp.max(
+                jnp.max(bnd[sl], axis=0))
 
         seg_box[par] = seg_new.astype(jnp.uint8)
         # write back the interior rows; full-x rows are safe (the x halo
-        # is global padding where flips are masked to zero).  The DMA is
-        # left in flight — waited at step+1 before this buffer parity is
-        # reused, or by the end-of-grid drain below.
-        pltpu.make_async_copy(
-            seg_box.at[par, pl.ds(1, TZ), pl.ds(PADY, TY), :],
-            seg_out.at[pl.ds(z0 + 1, TZ), pl.ds(y0 + PADY, TY), :],
-            out_sems.at[par]).start()
+        # is global padding where flips are masked to zero).  The DMAs
+        # are left in flight — waited at step+1 before this buffer
+        # parity is reused, or by the end-of-grid drain below.
+        for k in range(NB):
+            @pl.when(slot_of(step, k) < nact)
+            def _(k=k):
+                z0k, y0k = tile_zy(slot_of(step, k))
+                pltpu.make_async_copy(
+                    seg_box.at[par, pl.ds(k * BZ + 1, TZ),
+                               pl.ds(PADY, TY), :],
+                    seg_out.at[pl.ds(z0k + 1, TZ),
+                               pl.ds(y0k + PADY, TY), :],
+                    out_sems.at[par, k]).start()
 
         # histogram delta of flipped voxels (+1 newly segmented, -1
         # newly unsegmented): static 8-row blocks, bins on sublanes of a
@@ -252,27 +298,34 @@ def _frontier_kernel(TZ, TY, Xp, n_ty, num_bins,
             sgn = (flips * (2 * seg_new - 1)).astype(jnp.float32)
             iota_b = jax.lax.broadcasted_iota(
                 jnp.int32, (8, num_bins, Xp), 1)
-            for z in range(1, TZ + 1):
-                for r0 in range(PADY, PADY + TY, 8):
-                    blk_b = binv[z, r0:r0 + 8, :]
-                    blk_s = sgn[z, r0:r0 + 8, :]
-                    blk_any = jnp.max(jnp.max(jnp.abs(blk_s), axis=0))
+            for kz in range(NB):
+                for z in range(kz * BZ + 1, kz * BZ + 1 + TZ):
+                    for r0 in range(PADY, PADY + TY, 8):
+                        blk_b = binv[z, r0:r0 + 8, :]
+                        blk_s = sgn[z, r0:r0 + 8, :]
+                        blk_any = jnp.max(jnp.max(jnp.abs(blk_s),
+                                                  axis=0))
 
-                    @pl.when(blk_any > 0)
-                    def _(blk_b=blk_b, blk_s=blk_s):
-                        eq = (blk_b[:, None, :] == iota_b).astype(
-                            jnp.float32)
-                        acc[:] = acc[:] + jnp.sum(
-                            eq * blk_s[:, None, :], axis=0)
+                        @pl.when(blk_any > 0)
+                        def _(blk_b=blk_b, blk_s=blk_s):
+                            eq = (blk_b[:, None, :] == iota_b).astype(
+                                jnp.float32)
+                            acc[:] = acc[:] + jnp.sum(
+                                eq * blk_s[:, None, :], axis=0)
 
-    # end-of-grid drain: the final step's writeback has no successor step
-    # to wait it (it is waited at step+1 only when step+1 exists)
-    @pl.when((phase == 1) & (step == n_steps - 1) & (nact == n_steps))
-    def _():
-        pltpu.make_async_copy(
-            seg_box.at[par, pl.ds(1, TZ), pl.ds(PADY, TY), :],
-            seg_out.at[pl.ds(z0 + 1, TZ), pl.ds(y0 + PADY, TY), :],
-            out_sems.at[par]).wait()
+    # end-of-grid drain: the final step's writebacks have no successor
+    # step to wait them (they are waited at step+1 only when it exists)
+    for k in range(NB):
+        @pl.when((phase == 1) & (step == n_steps - 1)
+                 & (slot_of(step, k) < nact))
+        def _(k=k):
+            z0k, y0k = tile_zy(slot_of(step, k))
+            pltpu.make_async_copy(
+                seg_box.at[par, pl.ds(k * BZ + 1, TZ),
+                           pl.ds(PADY, TY), :],
+                seg_out.at[pl.ds(z0k + 1, TZ),
+                           pl.ds(y0k + PADY, TY), :],
+                out_sems.at[par, k]).wait()
 
     @pl.when((phase == 1) & (step == n_steps - 1))
     def _():
@@ -302,6 +355,9 @@ def _dilate_tiles(active_2d):
     return out
 
 
+VMEM_BUDGET = 14 * 2 ** 20  # leave headroom under the 16 MiB scoped cap
+
+
 def region_grow_frontier(
     data,
     seed_mask,
@@ -311,25 +367,28 @@ def region_grow_frontier(
     num_bins: int = 256,
     tile=(8, 16),
     k_max: int = 256,
+    nb: int = 4,
     interpret: bool = False,
 ) -> RegionGrowResult:
     """Frontier-tile region growing (same fixed point as ``region_grow``
-    with ``excluded_mask=None``)."""
+    with ``excluded_mask=None``).  ``nb`` tiles are batched per grid
+    step (auto-clamped to the scoped-VMEM budget)."""
     assert num_bins % 32 == 0
     with _x32():
         return _region_grow_frontier_jit(
             jnp.asarray(data), jnp.asarray(seed_mask), float(H),
             int(max_segment_size), int(iter_max), int(num_bins),
-            tuple(tile), int(k_max), bool(interpret))
+            tuple(tile), int(k_max), int(nb), bool(interpret))
 
 
 _JIT_STATICS = ("H", "max_segment_size", "iter_max", "num_bins", "tile",
-                "k_max", "interpret")
+                "k_max", "nb", "interpret")
 
 
 @functools.partial(jax.jit, static_argnames=_JIT_STATICS)
 def _region_grow_frontier_jit(data, seed_mask, H, max_segment_size,
-                              iter_max, num_bins, tile, k_max, interpret):
+                              iter_max, num_bins, tile, k_max, nb,
+                              interpret):
     TZ, TY = tile
     assert TY % 8 == 0, "TY must be sublane-aligned"
     assert num_bins <= 256, "bin index must fit in the low byte"
@@ -384,9 +443,17 @@ def _region_grow_frontier_jit(data, seed_mask, H, max_segment_size,
 
     W = num_bins // 32
     BZ, R = TZ + 2, TY + 2 * PADY
+    # clamp the tile batch to the scoped-VMEM budget: two parity pairs
+    # of nb stacked boxes (u8 seg + i32 bins) plus the hist accumulator
+    per_tile = 2 * BZ * R * Xp * (1 + 4)
+    fixed = num_bins * Xp * 4
+    nb = max(1, min(nb, (VMEM_BUDGET - fixed) // per_tile, k_max))
+    k_steps = -(-k_max // nb)
+    k_pad = k_steps * nb
+    NBZ = nb * BZ
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
-        grid=(2, k_max),
+        grid=(2, k_steps),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
@@ -401,17 +468,17 @@ def _region_grow_frontier_jit(data, seed_mask, H, max_segment_size,
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
         scratch_shapes=[
-            pltpu.VMEM((2, BZ, R, Xp), jnp.uint8),   # parity pair
-            pltpu.VMEM((2, BZ, R, Xp), jnp.int32),   # parity pair
+            pltpu.VMEM((2, NBZ, R, Xp), jnp.uint8),   # parity pair
+            pltpu.VMEM((2, NBZ, R, Xp), jnp.int32),   # parity pair
             pltpu.VMEM((num_bins, Xp), jnp.float32),
-            pltpu.SemaphoreType.DMA((2,)),  # snapshots
-            pltpu.SemaphoreType.DMA((2,)),  # seg inputs
-            pltpu.SemaphoreType.DMA((2,)),  # bin inputs
-            pltpu.SemaphoreType.DMA((2,)),  # writebacks
+            pltpu.SemaphoreType.DMA((2, nb)),  # snapshots
+            pltpu.SemaphoreType.DMA((2, nb)),  # seg inputs
+            pltpu.SemaphoreType.DMA((2, nb)),  # bin inputs
+            pltpu.SemaphoreType.DMA((2, nb)),  # writebacks
         ],
     )
     kernel = functools.partial(_frontier_kernel, TZ, TY, Xp, nty,
-                               num_bins)
+                               num_bins, nb)
 
     def launch(seg_pad, ids, nact, words):
         return pl.pallas_call(
@@ -419,9 +486,9 @@ def _region_grow_frontier_jit(data, seed_mask, H, max_segment_size,
             grid_spec=grid_spec,
             out_shape=[
                 jax.ShapeDtypeStruct(seg_pad.shape, jnp.uint8),
-                jax.ShapeDtypeStruct((k_max, BZ, R, Xp), jnp.uint8),
+                jax.ShapeDtypeStruct((k_pad, BZ, R, Xp), jnp.uint8),
                 jax.ShapeDtypeStruct((num_bins, 1), jnp.float32),
-                jax.ShapeDtypeStruct((k_max, 2), jnp.int32),
+                jax.ShapeDtypeStruct((k_pad, 2), jnp.int32),
             ],
             input_output_aliases={2: 0},  # seg (after 2 prefetch args)
             compiler_params=pltpu.CompilerParams(has_side_effects=True),
@@ -446,12 +513,12 @@ def _region_grow_frontier_jit(data, seed_mask, H, max_segment_size,
 
         active_flat = active.reshape(-1)
         n_active = jnp.sum(active_flat, dtype=jnp.int32)
-        ids = jnp.nonzero(active_flat, size=k_max, fill_value=0)[0]
+        ids = jnp.nonzero(active_flat, size=k_pad, fill_value=0)[0]
         ids = ids.astype(jnp.int32)
         nact = jnp.minimum(n_active, k_max).reshape(1)
 
         seg_new, _, dhist, flags = launch(seg_pad, ids, nact, words)
-        valid = (jnp.arange(k_max, dtype=jnp.int32)
+        valid = (jnp.arange(k_pad, dtype=jnp.int32)
                  < nact[0]).astype(jnp.int32)
         nf = flags[:, 0] * valid
         hb = flags[:, 1] * valid

@@ -69,6 +69,22 @@ def test_non_divisible_dims():
                                   np.asarray(front.segmented_map))
 
 
+def test_tile_batch_non_divisor_parity():
+    """nb that does not divide the active-tile count: the final step's
+    invalid trailing slots are masked out of flips/flags/hist."""
+    vol, seed = _bar_phantom(seed=5)
+    full = region_grow(jnp.asarray(vol), jnp.asarray(seed),
+                       max_segment_size=100000, iter_max=100)
+    front = region_grow_frontier(jnp.asarray(vol), jnp.asarray(seed),
+                                 tile=(8, 16), k_max=16, nb=3,
+                                 interpret=True,
+                                 max_segment_size=100000, iter_max=100)
+    assert int(front.stop_reason) == 0
+    np.testing.assert_array_equal(np.asarray(full.segmented_map),
+                                  np.asarray(front.segmented_map))
+    assert int(full.iterations) == int(front.iterations)
+
+
 def test_k_max_overflow_still_converges():
     """More active tiles than k_max: unprocessed tiles stay active and
     get their flips on later sweeps; the fixed point is unchanged."""
