@@ -48,12 +48,16 @@ def _conv_axis(vol, kernel, axis):
 
     Implemented as a banded-matrix contraction so it runs on the MXU:
     a K-tap shifted-add fusion re-reads the volume K times from HBM and
-    lane-dim (minor axis) shifts force Mosaic relayouts, while one dense
-    (N, N) banded matmul reads the volume once and the extra multiplies
-    by the zero band are free next to the HBM traffic they replace."""
+    lane-dim (minor axis) shifts force Mosaic relayouts, while a banded
+    matmul reads the volume once and the extra multiplies by the zero
+    band are free next to the HBM traffic they replace.  Long axes use
+    the block-banded form (see ``_apply_blocked``) so the MXU work
+    scales with the bandwidth, not the axis length."""
     n = vol.shape[axis]
-    B = _banded_conv_matrix(tuple(np.asarray(kernel).tolist()), n)
-    return _apply_axis_matrix(vol, B, axis)
+    taps = tuple(np.asarray(kernel).tolist())
+    B = _banded_conv_matrix(taps, n)
+    return _apply_axis_matrix(vol, B, axis, bw=len(kernel) // 2,
+                              key=("conv", taps))
 
 
 @functools.lru_cache(maxsize=None)
@@ -93,11 +97,81 @@ def _diff_matrix(n: int, order: int):
 
 _AXIS_EINSUM = ("iz,zyx->iyx", "iy,zyx->zix", "ix,zyx->zyi")
 
+# block-banded contraction geometry: 128-row output blocks, each reading
+# a 256-wide input window (the 64-halo covers every Gaussian up to
+# sigma ~21, radius ceil(3*sigma); wider bands fall back to dense)
+_BLK = 128
+_BHALO = 64
+_BLOCKED_MIN_N = 384  # below this the dense matmul wastes little
 
-def _apply_axis_matrix(vol, B, axis):
+
+@functools.lru_cache(maxsize=None)
+def _block_banded_matrix(key, n: int):
+    """(nb, 128, 256) per-block slices of the banded (n, n) matrix named
+    by ``key`` (a cache key of `_banded_conv_matrix`/`_diff_matrix`):
+    Mb[j, b, c] = B[j*128 + b, j*128 - 64 + c], zero outside [0, n)."""
+    kind = key[0]
+    B = _diff_matrix(n, key[1]) if kind == "diff" else \
+        _banded_conv_matrix(key[1], n)
+    nb = -(-n // _BLK)
+    Bp = np.zeros((nb * _BLK, nb * _BLK + 2 * _BHALO), np.float32)
+    Bp[:n, _BHALO:_BHALO + n] = B
+    return np.stack([Bp[j * _BLK:(j + 1) * _BLK,
+                        j * _BLK:j * _BLK + _BLK + 2 * _BHALO]
+                     for j in range(nb)])
+
+
+def _apply_blocked(vol, Mb, axis, n):
+    """Banded contraction along ``axis`` as a batched block matmul.
+
+    The dense (n, n) form spends n MXU madds per voxel on a band of
+    ~2*bw+1 taps — at n ~ 880 that wastes ~46x of the matmul.  Splitting
+    the axis into 128-row blocks, each output block only needs the
+    256-wide input window around it (bw <= 64), so the per-voxel cost
+    drops to 256 madds regardless of n (~3x fewer at Speck's 880,
+    ~2x at 512).  Exactly the same linear operator — block windows are
+    literal slices of the banded matrix."""
+    nb = Mb.shape[0]
+    npad = nb * _BLK
+    pad = [(0, 0)] * 3
+    pad[axis] = (0, npad - n)
+    v = jnp.pad(vol, pad) if npad != n else vol
+    Mj = jnp.asarray(Mb)
+    if axis == 1:
+        Z, _, X = v.shape
+        vb = v.reshape(Z, nb, _BLK, X)
+        zero = jnp.zeros((Z, 1, _BHALO, X), v.dtype)
+        left = jnp.concatenate([zero, vb[:, :-1, _BLK - _BHALO:, :]],
+                               axis=1)
+        right = jnp.concatenate([vb[:, 1:, :_BHALO, :], zero], axis=1)
+        w = jnp.concatenate([left, vb, right], axis=2)
+        out = jnp.einsum("jbc,zjcx->zjbx", Mj, w,
+                         precision=jax.lax.Precision.HIGHEST,
+                         preferred_element_type=jnp.float32)
+        out = out.reshape(Z, npad, X)
+    else:
+        Z, Y, _ = v.shape
+        vb = v.reshape(Z, Y, nb, _BLK)
+        zero = jnp.zeros((Z, Y, 1, _BHALO), v.dtype)
+        left = jnp.concatenate([zero, vb[:, :, :-1, _BLK - _BHALO:]],
+                               axis=2)
+        right = jnp.concatenate([vb[:, :, 1:, :_BHALO], zero], axis=2)
+        w = jnp.concatenate([left, vb, right], axis=3)
+        out = jnp.einsum("jbc,zyjc->zyjb", Mj, w,
+                         precision=jax.lax.Precision.HIGHEST,
+                         preferred_element_type=jnp.float32)
+        out = out.reshape(Z, Y, npad)
+    return jax.lax.slice_in_dim(out, 0, n, axis=axis)
+
+
+def _apply_axis_matrix(vol, B, axis, bw=None, key=None):
     # HIGHEST: full-f32 MXU passes — the default (one bf16 pass) loses
     # enough mantissa to visibly corrupt the Hessian eigen-structure and
     # fragment the downstream segmentation
+    n = vol.shape[axis]
+    if (key is not None and bw is not None and bw <= _BHALO
+            and axis >= 1 and n >= _BLOCKED_MIN_N):
+        return _apply_blocked(vol, _block_banded_matrix(key, n), axis, n)
     return jnp.einsum(_AXIS_EINSUM[axis], B, vol,
                       precision=jax.lax.Precision.HIGHEST,
                       preferred_element_type=jnp.float32)
@@ -142,14 +216,15 @@ def _hessian_from_smoothed(sm, sigma: float):
     def d1(x, axis):
         if axis < 2:
             return _d_shift(x, axis, 1)
-        return _apply_axis_matrix(x, _diff_matrix(x.shape[axis], 1), axis)
+        return _apply_axis_matrix(x, _diff_matrix(x.shape[axis], 1), axis,
+                                  bw=1, key=("diff", 1))
 
     def d2(axis):
         if axis < 2:
             out = _d_shift(sm, axis, 2)
         else:
             out = _apply_axis_matrix(sm, _diff_matrix(sm.shape[axis], 2),
-                                     axis)
+                                     axis, bw=1, key=("diff", 2))
         return out * s2
 
     dz, dy, dx = d1(sm, 0), d1(sm, 1), d1(sm, 2)

@@ -236,3 +236,53 @@ def test_bq_low_bit_wire_round_trips():
                             jnp.asarray(rmn), 0))
         np.testing.assert_allclose(out, expect.astype(np.float32),
                                    atol=1e-5)
+
+
+def test_blocked_banded_matches_dense():
+    """The block-banded contraction (128-row blocks x 256-wide windows)
+    is the same linear operator as the dense (n, n) banded matmul, for
+    both the Gaussian taps and the edge-replicated difference stencils,
+    on divisible and non-divisible axis lengths."""
+    import jax.numpy as jnp
+
+    from arterynetwork_tpu.ops import vesselness as V
+
+    rng = np.random.default_rng(7)
+    for shape in ((6, 512, 384), (5, 450, 410)):
+        vol = jnp.asarray(rng.normal(size=shape).astype(np.float32))
+        cases = []
+        for sigma in (1.0, 3.0):
+            taps = tuple(np.asarray(
+                V._gaussian_kernel(sigma, 0)).tolist())
+            cases.append((("conv", taps),
+                          V._banded_conv_matrix))
+        cases += [(("diff", 1), None), (("diff", 2), None)]
+        for key, _ in cases:
+            for axis in (1, 2):
+                n = vol.shape[axis]
+                B = (V._diff_matrix(n, key[1]) if key[0] == "diff"
+                     else V._banded_conv_matrix(key[1], n))
+                dense = jnp.einsum(V._AXIS_EINSUM[axis],
+                                   jnp.asarray(B), vol)
+                blk = V._apply_blocked(
+                    vol, V._block_banded_matrix(key, n), axis, n)
+                np.testing.assert_allclose(np.asarray(dense),
+                                           np.asarray(blk),
+                                           rtol=1e-5, atol=1e-6)
+
+
+def test_conv_axis_dispatches_blocked_above_threshold():
+    """_conv_axis output is unchanged across the dense/blocked dispatch
+    boundary (same taps, axis lengths straddling _BLOCKED_MIN_N)."""
+    import jax.numpy as jnp
+
+    from arterynetwork_tpu.ops import vesselness as V
+
+    rng = np.random.default_rng(8)
+    big = jnp.asarray(rng.normal(size=(4, 400, 400)).astype(np.float32))
+    k = V._gaussian_kernel(2.0, 0)
+    out = np.asarray(V._conv_axis(big, k, 1))
+    # reference: straight dense contraction
+    B = V._banded_conv_matrix(tuple(np.asarray(k).tolist()), 400)
+    ref = np.asarray(jnp.einsum(V._AXIS_EINSUM[1], jnp.asarray(B), big))
+    np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-6)
