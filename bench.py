@@ -439,10 +439,11 @@ def bench_speck_region_grow():
 
 
 def bench_speck_pipeline():
-    """Optional (--speck-e2e): the full raw->flow pipeline at Speck scale
-    (880x880x640) on one chip — not part of the driver's default run
-    (cold compiles add ~10 min); the measured numbers live in CLAUDE.md
-    and PARITY.md."""
+    """The full raw->flow pipeline at Speck scale (880x880x640) on one
+    chip.  Default-on so the driver's BENCH capture carries the Speck
+    fidelity/timing columns (cold compiles add minutes on the remote
+    compiler; the persistent compilation cache amortizes reruns);
+    ``--no-speck-e2e`` opts out."""
     import gc
 
     import jax
@@ -551,8 +552,27 @@ def main():
         detail.update(bench_speck_region_grow())
     except Exception as e:  # Speck scale is memory-hungry; never fail the run
         detail["speck_error"] = str(e)[:200]
-    if "--speck-e2e" in sys.argv:
-        detail.update(bench_speck_pipeline())
+    if "--no-speck-e2e" not in sys.argv:
+        # the Speck e2e runs in a daemon thread with a hard join bound:
+        # a wedged device op (or a driver slot shorter than the Speck
+        # compiles) must never cost the 512 capture above
+        import threading
+
+        speck: dict = {}
+
+        def _speck():
+            try:
+                speck.update(bench_speck_pipeline())
+            except Exception as e:  # OOM etc.: keep the partial record
+                speck["speck_pipeline_error"] = str(e)[:200]
+
+        th = threading.Thread(target=_speck, daemon=True)
+        th.start()
+        th.join(1500.0)
+        if th.is_alive():
+            speck["speck_pipeline_error"] = \
+                "timed out (>1500 s; device op likely wedged)"
+        detail.update(speck)
 
     record = {
         "metric": "region_grow_voxel_sweeps_per_s_512",
@@ -562,6 +582,11 @@ def main():
         **detail,
     }
     print(json.dumps(record))
+    sys.stdout.flush()
+    # a wedged device op in the Speck daemon thread (or a runtime atexit
+    # hook waiting on it) must not hang the process after the capture is
+    # out — the line above IS the deliverable
+    os._exit(0)
 
 
 if __name__ == "__main__":
