@@ -132,6 +132,13 @@ class CorrectionSession:
             self._apply({"removed": dict.fromkeys(event["removed"]),
                          "added": event["added"]})
             self.events.append(copy.deepcopy(event))
+            # advance the allocator past every replayed index, or the
+            # next post-replay edit would reuse an 'added' index and
+            # silently clobber the replayed segment
+            used = [int(i) for i in event["added"]]
+            used += [int(i) for i in event["removed"]]
+            if used:
+                self._next_index = max(self._next_index, max(used) + 1)
 
     # -- operations --------------------------------------------------------
     def remove_segment(self, segment_index: int, auto_merge: bool = True):
@@ -293,8 +300,9 @@ def audit_junction_bridges(session: CorrectionSession,
 
     ``distance_transform`` (full-frame EDT) orders candidates
     weakest-mean-radius first and enables the radius-scaled coverage
-    tolerance; without it candidates are tried shortest-first with the
-    flat tolerance.
+    tolerance; without it candidates are tried longest-first with the
+    flat tolerance (the same ordering as
+    ``segments.prune_junction_bridges``).
     """
     from scipy.spatial import cKDTree
 
@@ -308,49 +316,63 @@ def audit_junction_bridges(session: CorrectionSession,
         idx = np.asarray(seg, np.int64)
         return float(np.mean(dt[idx[:, 0], idx[:, 1], idx[:, 2]]))
 
+    # connectivity runs on the endpoint-level multigraph (one edge per
+    # segment, like segments.prune_junction_bridges) and is updated
+    # incrementally through removals/merges; one KD-tree per pass, with
+    # voxels of bridges dropped THIS pass excluded from coverage.
     changed = True
     while changed:
         changed = False
         items = list(session.segments.items())
-        end_count: Dict[Voxel, int] = {}
-        for _, seg in items:
-            for v in (seg[0], seg[-1]):
-                end_count[v] = end_count.get(v, 0) + 1
+        G = nx.MultiGraph()
+        for j, s in items:
+            G.add_edge(s[0], s[-1], key=j)
         cand = [(i, seg) for i, seg in items
                 if seg[0] != seg[-1] and len(seg) <= max_len
-                and end_count.get(seg[0], 0) >= 3
-                and end_count.get(seg[-1], 0) >= 3]
+                and G.degree(seg[0]) >= 3 and G.degree(seg[-1]) >= 3]
         cand.sort(key=lambda t: (mean_radius(t[1]), -len(t[1]), t[0]))
         all_pts = np.asarray([v for _, seg in items for v in seg],
                              np.float64)
-        all_src = np.asarray([i for i, seg in items for _ in seg],
-                             np.int64)
         tree = cKDTree(all_pts) if len(all_pts) else None
+        dropped_pts: set = set()
         for i, seg in cand:
-            if i not in session.segments:
+            if i not in session.segments or not G.has_edge(
+                    seg[0], seg[-1], key=i):
                 continue
-            others = segments_to_graph(
-                [s for j, s in session.segments.items() if j != i])
             u, v = seg[0], seg[-1]
-            if u not in others or v not in others \
-                    or not nx.has_path(others, u, v):
+            G.remove_edge(u, v, key=i)
+            if u not in G or v not in G or not nx.has_path(G, u, v):
+                G.add_edge(u, v, key=i)
                 continue
             if tree is not None and len(seg) > 2:
                 tol = max(cover_tol,
                           cover_radius_factor * mean_radius(seg))
-                own_pts = set(map(tuple, seg))
+                own_pts = set(map(tuple, seg)) | dropped_pts
                 covered = True
                 for w in seg[1:-1]:
                     hits = tree.query_ball_point(np.asarray(w, float),
                                                  r=tol)
-                    if not any(all_src[h] != i
-                               and tuple(all_pts[h].astype(int))
+                    if not any(tuple(all_pts[h].astype(int))
                                not in own_pts for h in hits):
                         covered = False
                         break
                 if not covered:
+                    G.add_edge(u, v, key=i)
                     continue
-            events.append(session.remove_segment(i))
+            ev = session.remove_segment(i)
+            events.append(ev)
             changed = True
-            break   # segment indices shifted: rebuild candidate state
+            # the bridge's interior voxels no longer exist in the
+            # session and must not cover later candidates (endpoints
+            # survive as junctions of the neighboring segments)
+            dropped_pts.update(map(tuple, seg[1:-1]))
+            # mirror the event's auto-merges onto the endpoint graph
+            for j, s_j in ev["removed"].items():
+                if j == i:
+                    continue
+                s0, s1 = tuple(s_j[0]), tuple(s_j[-1])
+                if G.has_edge(s0, s1, key=j):
+                    G.remove_edge(s0, s1, key=j)
+            for m, s_m in ev["added"].items():
+                G.add_edge(tuple(s_m[0]), tuple(s_m[-1]), key=m)
     return events

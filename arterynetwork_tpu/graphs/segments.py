@@ -496,7 +496,8 @@ def prune_parallel_arcs(chains, n, radius, factor: float = 3.0,
     out = []
     for c in chains:
         if c[0] == c[-1]:
-            if len(c) <= max(min_keep, factor * radius[c[0]]) * 2:
+            # float(): f64 thresholds, matching the C++ port exactly
+            if len(c) <= max(min_keep, factor * float(radius[c[0]])) * 2:
                 continue
             out.append(c)
             continue
@@ -508,7 +509,7 @@ def prune_parallel_arcs(chains, n, radius, factor: float = 3.0,
             continue
         _, score = _chain_mean_radius(cs, radius)
         best = int(np.argmax(score))
-        rj = max(radius[key[0]], radius[key[1]])
+        rj = float(max(radius[key[0]], radius[key[1]]))
         for i, c in enumerate(cs):
             if i == best or len(c) > max(min_keep, factor * rj):
                 out.append(c)
@@ -753,7 +754,9 @@ def _prune_chains_radius(chains, n, radius, min_length: int = 3,
                 if len(c) <= min_length:
                     continue
             elif t0 or t1:
-                rj = radius[c[-1]] if t0 else radius[c[0]]
+                # float(): f64 threshold to match the C++ port exactly
+                # (factor * np.float32 would round the product to f32)
+                rj = float(radius[c[-1]] if t0 else radius[c[0]])
                 if len(c) <= max(min_length, factor * rj):
                     continue
             keep.append(c)

@@ -426,8 +426,9 @@ def simple_point_native(code: int) -> bool:
 
 
 def _unpack_chains(flat, offsets, count):
-    flat_l = flat.tolist()
     off_l = offsets[:count + 1].tolist()
+    # only the used prefix: the buffer is over-allocated (4E + 16)
+    flat_l = flat[:off_l[count]].tolist()
     return [flat_l[off_l[i]:off_l[i + 1]] for i in range(count)]
 
 

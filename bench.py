@@ -569,10 +569,13 @@ def main():
         th = threading.Thread(target=_speck, daemon=True)
         th.start()
         th.join(1500.0)
+        # snapshot: on the timeout path the daemon thread may still be
+        # mutating `speck` while we read it
+        snap = dict(speck)
         if th.is_alive():
-            speck["speck_pipeline_error"] = \
+            snap["speck_pipeline_error"] = \
                 "timed out (>1500 s; device op likely wedged)"
-        detail.update(speck)
+        detail.update(snap)
 
     record = {
         "metric": "region_grow_voxel_sweeps_per_s_512",

@@ -160,3 +160,31 @@ def test_save_contract(tmp_path):
     s2.replay(events)
     assert {tuple(map(tuple, v)) for v in s2.segment_list()} == \
         {tuple(map(tuple, v)) for v in s.segment_list()}
+
+
+def test_replay_advances_index_allocator():
+    """Edits made after replaying a persisted event list must not reuse
+    the replayed events' 'added' indices (reusing one silently clobbers
+    the replayed segment)."""
+    from arterynetwork_tpu.graphs.editing import CorrectionSession
+
+    def structure(y):
+        trunk = [(i, y, 0) for i in range(31)]
+        twin = [(10, y, 0), (11, y + 1, 0), (12, y + 1, 0),
+                (13, y + 1, 0), (14, y, 0)]
+        return [trunk[:11], trunk[10:15], trunk[14:], twin]
+
+    segs = structure(0) + structure(10)
+    s1 = CorrectionSession(segs)
+    s1.remove_segment(3)                 # first structure's twin
+
+    # persist + reload + replay, then do the second structure's edit
+    s2 = CorrectionSession(segs)
+    s2.replay([dict(e) for e in s1.events])
+    s2.remove_segment(7)                 # second structure's twin
+    flat = {v for seg in s2.segment_list() for v in seg}
+    # both merged trunks must be fully present (index reuse used to
+    # clobber the replayed one)
+    assert {(i, 0, 0) for i in range(31)} <= flat
+    assert {(i, 10, 0) for i in range(31)} <= flat
+    assert len(s2.segment_list()) == 2
