@@ -35,6 +35,12 @@ class VesselnessConfig:
     # your own acquisitions before dropping below bq4), or "f16"
     # (utils/transfer.upload_quantized)
     upload_format: str = "u12"
+    # opt-in fused Pallas response kernel (Hessian+eigen+tubularity in
+    # one pass from the smoothed field, ops/vesselness_fused.py) —
+    # exact interpret-mode parity; off until the remote AOT compiler
+    # proves it at the target shapes (same policy as the banded
+    # region-grow sweep)
+    fused_response: bool = False
 
 
 @dataclasses.dataclass

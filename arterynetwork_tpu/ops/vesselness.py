@@ -19,6 +19,7 @@ same way the other voxel kernels do.
 
 from __future__ import annotations
 
+import contextlib
 import functools
 
 import jax
@@ -315,7 +316,8 @@ def _response_from_hessian(hs, alpha, beta, g, bright):
 def frangi_vesselness_chunked(volume, sigmas=(1.0, 2.0, 3.0),
                               alpha=0.5, beta=0.5, gamma=None,
                               bright=True, chunk_z: int = 96,
-                              donate_input: bool = False):
+                              donate_input: bool = False,
+                              fused_response: bool = False):
     """Multiscale Frangi for volumes whose full-grid temporaries exceed
     HBM (~8 f32 fields per scale; a 880x880x640 Speck volume OOMs one
     v5e chip).  The volume is processed in halo'd z slabs; when
@@ -352,6 +354,12 @@ def frangi_vesselness_chunked(volume, sigmas=(1.0, 2.0, 3.0),
 
     starts = [c * chunk_z for c in range(n_chunks)]
     best = jnp.zeros((Zp,) + shape_yx, jnp.float32)
+    # fused (Pallas) apply workers need the x32 context around the
+    # jitted CALL (Mosaic re-traces reductions under the global x64
+    # flag); the XLA workers keep their usual context
+    ap_sm, ap, ctx = _apply_chunk_sm, _apply_chunk, contextlib.nullcontext
+    if fused_response:
+        ap_sm, ap, ctx = _apply_chunk_sm_fused, _apply_chunk_fused, _x32
     for sigma in sigmas:
         if gamma is None:
             # gamma pass caches the smoothed field per interior chunk so
@@ -365,17 +373,19 @@ def frangi_vesselness_chunked(volume, sigmas=(1.0, 2.0, 3.0),
                                                 halo, chunk_z)
                 parts.append(smax_c)
             g = jnp.max(jnp.stack(parts)) * 0.5
-            for s in starts:
-                best = _apply_chunk_sm(best, smf, s, g, float(sigma),
-                                       float(alpha), float(beta),
-                                       bool(bright), halo, chunk_z)
+            with ctx():
+                for s in starts:
+                    best = ap_sm(best, smf, s, g, float(sigma),
+                                 float(alpha), float(beta),
+                                 bool(bright), halo, chunk_z)
             del smf
         else:
             g = jnp.float32(gamma)
-            for s in starts:
-                best = _apply_chunk(best, volp, s, g, float(sigma),
-                                    float(alpha), float(beta),
-                                    bool(bright), halo, chunk_z)
+            with ctx():
+                for s in starts:
+                    best = ap(best, volp, s, g, float(sigma),
+                              float(alpha), float(beta),
+                              bool(bright), halo, chunk_z)
     return best[:Z]
 
 
@@ -459,6 +469,48 @@ def _apply_chunk(best, volp, start, g, sigma, alpha, beta, bright,
         best, jnp.maximum(cur, v), start, axis=0)
 
 
+_x32 = functools.partial(jax.enable_x64, False)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("sigma", "alpha", "beta", "bright",
+                                    "halo", "chunk_z"),
+                   donate_argnums=(0,))
+def _apply_chunk_sm_fused(best, smf, start, g, sigma, alpha, beta,
+                          bright, halo, chunk_z):
+    """Fused-kernel counterpart of ``_apply_chunk_sm`` (opt-in,
+    ops/vesselness_fused.py): the chunk's response comes straight from
+    the cached smoothed field in ONE Pallas pass instead of ~12 XLA
+    slab passes.  ``start`` stays dynamic — one compile per config."""
+    from .vesselness_fused import response_range_dynamic
+    v = response_range_dynamic(smf, start + halo, chunk_z, sigma, g,
+                               alpha, beta, bright,
+                               interpret=jax.default_backend() != "tpu")
+    cur = jax.lax.dynamic_slice_in_dim(best, start, chunk_z, axis=0)
+    return jax.lax.dynamic_update_slice_in_dim(
+        best, jnp.maximum(cur, v), start, axis=0)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("sigma", "alpha", "beta", "bright",
+                                    "halo", "chunk_z"),
+                   donate_argnums=(0,))
+def _apply_chunk_fused(best, volp, start, g, sigma, alpha, beta, bright,
+                       halo, chunk_z):
+    """Fused-kernel counterpart of ``_apply_chunk``: XLA blocked-matmul
+    smoothing of the slab, then the fused response pass."""
+    from .vesselness_fused import response_range_dynamic
+    sl = jax.lax.dynamic_slice_in_dim(volp, start, chunk_z + 2 * halo,
+                                      axis=0)
+    sm = _smooth(sl, sigma)
+    v = response_range_dynamic(sm, halo, chunk_z, sigma, g, alpha,
+                               beta, bright,
+                               interpret=jax.default_backend() != "tpu")
+    cur = jax.lax.dynamic_slice_in_dim(best, start, chunk_z, axis=0)
+    return jax.lax.dynamic_update_slice_in_dim(
+        best, jnp.maximum(cur, v), start, axis=0)
+
+
 @functools.partial(jax.jit, donate_argnums=(0,))
 def _upload_slab_u8(volp, slab_u8, start, scale, offset):
     """Dequantize one uint8 slab and write it into the padded volume."""
@@ -529,7 +581,8 @@ def _upload_slab_f16(volp, slab_f16, start):
 def frangi_vesselness_streamed(raw, sigmas=(1.0, 2.0, 3.0),
                                alpha=0.5, beta=0.5, gamma=None,
                                bright=True, chunk_z: int = 48,
-                               bits: int = 8):
+                               bits: int = 8,
+                               fused_response: bool = False):
     """Multiscale Frangi from a HOST volume with the upload streamed
     slab-by-slab, overlapped with the first scale's gamma pass.
 
@@ -655,6 +708,9 @@ def frangi_vesselness_streamed(raw, sigmas=(1.0, 2.0, 3.0),
     starts = [c * chunk_z for c in range(n_chunks)]
     sigma0 = sigmas[0]
     best = jnp.zeros((Zp,) + shape_yx, jnp.float32)
+    ap_sm, ap, ctx = _apply_chunk_sm, _apply_chunk, contextlib.nullcontext
+    if fused_response:
+        ap_sm, ap, ctx = _apply_chunk_sm_fused, _apply_chunk_fused, _x32
 
     # phase 1 (wire-bound): slab uploads interleaved with the first
     # scale's smoothed-field/S-max chunks.  Chunk c reads padded rows
@@ -684,10 +740,11 @@ def frangi_vesselness_streamed(raw, sigmas=(1.0, 2.0, 3.0),
 
         t0 = _time.perf_counter()
         g0 = jnp.max(jnp.stack(parts0)) * 0.5
-        for s in starts:
-            best = _apply_chunk_sm(best, smf0, s, g0, sigma0,
-                                   float(alpha), float(beta),
-                                   bool(bright), halo, chunk_z)
+        with ctx():
+            for s in starts:
+                best = ap_sm(best, smf0, s, g0, sigma0,
+                             float(alpha), float(beta),
+                             bool(bright), halo, chunk_z)
         del smf0
         # remaining scales: direct applies from the resident volume (the
         # smoothing recompute costs less than a second smoothed-field
@@ -696,10 +753,11 @@ def frangi_vesselness_streamed(raw, sigmas=(1.0, 2.0, 3.0),
         # face-row envelope; interiors match the cached path exactly)
         for si, sigma in enumerate(sigmas[1:]):
             g = jnp.max(jnp.stack(parts_rest[si])) * 0.5
-            for s in starts:
-                best = _apply_chunk(best, volp, s, g, float(sigma),
-                                    float(alpha), float(beta),
-                                    bool(bright), halo, chunk_z)
+            with ctx():
+                for s in starts:
+                    best = ap(best, volp, s, g, float(sigma),
+                              float(alpha), float(beta),
+                              bool(bright), halo, chunk_z)
     else:
         for c in range(1, n_chunks):
             volp = upload(volp, c)
@@ -708,11 +766,12 @@ def frangi_vesselness_streamed(raw, sigmas=(1.0, 2.0, 3.0),
         t0 = _time.perf_counter()
         # phase 2 (compute-bound): all scales on the resident volume
         g = jnp.float32(gamma)
-        for sigma in sigmas:
-            for s in starts:
-                best = _apply_chunk(best, volp, s, g, float(sigma),
-                                    float(alpha), float(beta),
-                                    bool(bright), halo, chunk_z)
+        with ctx():
+            for sigma in sigmas:
+                for s in starts:
+                    best = ap(best, volp, s, g, float(sigma),
+                              float(alpha), float(beta),
+                              bool(bright), halo, chunk_z)
     out = best[:Z]
     jax.device_get(out[0, 0, 0])
     t_compute = _time.perf_counter() - t0

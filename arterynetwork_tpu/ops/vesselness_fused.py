@@ -1,0 +1,260 @@
+"""Fused Frangi response kernel: Hessian + eigenvalues + tubularity in
+one Pallas pass over the smoothed field.
+
+The XLA apply path (ops/vesselness.py:_apply_chunk*) evaluates the
+difference stencils, the closed-form eigenvalues and the response as
+separate HBM passes per scale: 2 banded matmuls (x-axis stencils),
+7 shifted-slice passes, and the eigen/response fusion — each reading and
+writing full-slab f32 temporaries.  This kernel computes the response
+tile-by-tile from ONE read of the smoothed field: a (TZ+4, TYB+16, Xp)
+box is DMA'd into VMEM, all six Hessian components are formed with
+in-register shifts (z via static axis-0 slices, y/x via ``pltpu.roll`` —
+wrap-around garbage lands in halo rows/lanes the interior never reads),
+the eigen/response math runs on the VPU, and only the (TZ, TYB, X)
+interior is written back.  HBM traffic per scale drops from ~12 slab
+r/w passes to 2 (read smoothed, write response).
+
+Edge semantics match the XLA path exactly: the wrapper pads the
+smoothed field with *edge-replicated* rows/columns, which is precisely
+the replication the `_d_shift` / `_diff_matrix` stencils encode at the
+volume faces; interior halos come from the real neighboring rows.
+
+Like the banded region-grow sweep, this backend is OPT-IN
+(``fused_response`` config / explicit call) until the remote AOT
+compiler proves it at the target shapes; interpret-mode parity against
+the XLA apply path is exact to elementwise-transcendental rounding.
+
+Mosaic constraints honored (see ops/region_grow_frontier.py for the
+trap list): 8-aligned sublane DMA starts (TYB % 8 == 0, halo 8 rows of
+which 2 are used), full-lane boxes padded to 128 multiples, values only
+statically sliced, non-negative roll shifts, x32 context around the
+jitted call.
+
+Reference: the vesselness stage replaces the external SlicerVMTK step
+(reference README.md:37-65); per-voxel math identical to
+ops/vesselness.py (Frangi 1998 with the standard alpha/beta/c weights).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .vesselness import _response_from_hessian
+
+_x32 = functools.partial(jax.enable_x64, False)
+
+PADY = 8          # aligned y halo (2 of 8 rows used)
+HZ = 2            # z halo
+VMEM_BUDGET = 12 * 2 ** 20
+
+
+def _shift_z(x, d):
+    """x[r+d] with edge duplication (axis 0 is untiled: static slices)."""
+    if d == 1:
+        return jnp.concatenate([x[1:], x[-1:]], axis=0)
+    return jnp.concatenate([x[:1], x[:-1]], axis=0)
+
+
+def _nbr(x, axis, d):
+    """x[i+d] along a tiled axis via roll (non-negative shifts only);
+    wrap-around garbage stays in halo rows/lanes."""
+    n = x.shape[axis]
+    if axis == 0:
+        return _shift_z(x, d)
+    return pltpu.roll(x, (n - d) % n, axis)
+
+
+def _d1(x, axis):
+    return _nbr(x, axis, 1) - _nbr(x, axis, -1)
+
+
+def _d2(x, axis):
+    return _nbr(x, axis, 1) + _nbr(x, axis, -1) - 2.0 * x
+
+
+def _response_kernel(TZ, TYB, Xp, n_ty, sigma, alpha, beta, bright,
+                     p_ref, g_ref, out_ref,
+                     in_box, out_tile, in_sems, out_sems):
+    BZ = TZ + 2 * HZ
+    R = TYB + 2 * PADY
+    step = pl.program_id(0)
+    n_steps = pl.num_programs(0)
+    par = step & 1
+
+    def zy(s):
+        it = (s // jnp.int32(n_ty)).astype(jnp.int32)
+        iy = (s % jnp.int32(n_ty)).astype(jnp.int32)
+        return it * jnp.int32(TZ), iy * jnp.int32(TYB)
+
+    def in_copy(s, p):
+        z, y = zy(s)
+        return pltpu.make_async_copy(
+            p_ref.at[pl.ds(z, BZ), pl.ds(y, R), :],
+            in_box.at[p], in_sems.at[p])
+
+    def out_copy(s, p):
+        z, y = zy(s)
+        return pltpu.make_async_copy(
+            out_tile.at[p],
+            out_ref.at[pl.ds(z, TZ), pl.ds(y, TYB), :], out_sems.at[p])
+
+    @pl.when(step == 0)
+    def _():
+        in_copy(0, 0).start()
+
+    # the out buffer this step writes was last used at step-2; its DMA
+    # must have drained before the compute below overwrites it
+    @pl.when(step >= 2)
+    def _():
+        out_copy(step - 2, par).wait()
+
+    @pl.when(step + 1 < n_steps)
+    def _():
+        in_copy(step + 1, 1 - par).start()
+
+    in_copy(step, par).wait()
+
+    sm = in_box[par]
+    s2 = jnp.float32(sigma * sigma)
+    q = jnp.float32(0.25) * s2
+    dz = _d1(sm, 0)
+    dx = _d1(sm, 2)
+    hs = (_d2(sm, 0) * s2, _d2(sm, 1) * s2, _d2(sm, 2) * s2,
+          _d1(dz, 1) * q,   # cross (0,1)
+          _d1(dx, 0) * q,   # cross (0,2)
+          _d1(dx, 1) * q)   # cross (1,2)
+    g = g_ref[0, 0]
+    v = _response_from_hessian(hs, alpha, beta, g, bright)
+    out_tile[par] = v[HZ:HZ + TZ, PADY:PADY + TYB, :]
+    out_copy(step, par).start()
+
+    # drain: the last two steps' out DMAs have no step+2 to wait them
+    @pl.when((step == n_steps - 1) & (n_steps >= 2))
+    def _():
+        out_copy(step - 1, 1 - par).wait()
+
+    @pl.when(step == n_steps - 1)
+    def _():
+        out_copy(step, par).wait()
+
+
+def _pick_tile(Xp):
+    """Largest (TZ, TYB) whose box intermediates fit the VMEM budget
+    (the eigen/response chain keeps ~12 box-size values live at peak,
+    plus the double-buffered in/out scratch)."""
+    for TZ, TYB in ((8, 24), (8, 16), (8, 8), (4, 8)):
+        box = (TZ + 2 * HZ) * (TYB + 2 * PADY) * Xp * 4
+        tile = TZ * TYB * Xp * 4
+        if 12 * box + 2 * box + 2 * tile <= VMEM_BUDGET:
+            return TZ, TYB
+    return 4, 8
+
+
+def _pallas_response(P, g, TZ, TYB, Xp, nz, n_ty, sigma, alpha, beta,
+                     bright, interpret):
+    """(nz*TZ + 4, n_ty*TYB + 16, Xp) padded field -> (nz*TZ,
+    n_ty*TYB, Xp) response (trace-time helper; call under jit)."""
+    BZ, R = TZ + 2 * HZ, TYB + 2 * PADY
+    kernel = functools.partial(_response_kernel, TZ, TYB, Xp, n_ty,
+                               sigma, alpha, beta, bright)
+    return pl.pallas_call(
+        kernel,
+        grid=(nz * n_ty,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        out_shape=jax.ShapeDtypeStruct((nz * TZ, n_ty * TYB, Xp),
+                                       jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((2, BZ, R, Xp), jnp.float32),
+            pltpu.VMEM((2, TZ, TYB, Xp), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        interpret=interpret,
+    )(P, jnp.asarray(g, jnp.float32).reshape(1, 1))
+
+
+def response_range_dynamic(sm, z_lo, zr, sigma, g, alpha=0.5, beta=0.5,
+                           bright=True, tile=None, interpret=False):
+    """Fused response of ``sm`` rows [z_lo, z_lo + zr) with a TRACED
+    ``z_lo`` (one compile serves every chunk of the apply loop).
+
+    Requires rows [z_lo - 2, z_lo + zr + 2) to exist in ``sm`` — true
+    for every chunk of the halo-padded volume frame (halo >= 2) — and
+    ``zr`` divisible by the z tile.  Call under jit."""
+    Zs, Y, X = sm.shape
+    Xp = -(-(X + 2 * HZ) // 128) * 128
+    TZ, TYB = tile if tile is not None else _pick_tile(Xp)
+    if zr % TZ:
+        TZ = 4 if zr % 4 == 0 else 1
+    nz = zr // TZ
+    n_ty = -(-Y // TYB)
+    core = jax.lax.dynamic_slice_in_dim(
+        sm, jnp.asarray(z_lo, jnp.int32) - HZ, zr + 2 * HZ, axis=0)
+    P = jnp.pad(core, ((0, 0), (PADY, n_ty * TYB + PADY - Y),
+                       (HZ, Xp - X - HZ)), mode="edge")
+    out = _pallas_response(P, g, TZ, TYB, Xp, nz, n_ty, float(sigma),
+                           float(alpha), float(beta), bool(bright),
+                           bool(interpret))
+    return out[:, :Y, HZ:HZ + X]
+
+
+def frangi_response_fused(sm, sigma, g, alpha=0.5, beta=0.5,
+                          bright=True, z_lo=0, z_hi=None, tile=None,
+                          interpret=False):
+    """Frangi response of ``sm`` rows [z_lo, z_hi) in one fused pass.
+
+    ``sm``: smoothed field (Zs, Y, X) f32 (device).  Rows outside the
+    output range serve as real z-halos when available; otherwise (and on
+    the y/x faces) the field is edge-replicated, matching the XLA
+    stencils' volume-face semantics.  ``g`` may be a traced scalar (the
+    gamma from the S-max pass).  Returns (z_hi - z_lo, Y, X) f32.
+    """
+    Zs, Y, X = sm.shape
+    if z_hi is None:
+        z_hi = Zs
+    Zr = z_hi - z_lo
+    Xp = -(-(X + 2 * HZ) // 128) * 128
+    TZ, TYB = tile if tile is not None else _pick_tile(Xp)
+    nz = -(-Zr // TZ)
+    n_ty = -(-Y // TYB)
+
+    with _x32():
+        out = _fused_jit(sm, jnp.asarray(g, jnp.float32), int(z_lo),
+                         int(z_hi), float(sigma), float(alpha),
+                         float(beta), bool(bright), int(TZ), int(TYB),
+                         int(Xp), int(nz), int(n_ty), bool(interpret))
+    return out
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "z_lo", "z_hi", "sigma", "alpha", "beta", "bright", "TZ", "TYB",
+    "Xp", "nz", "n_ty", "interpret"))
+def _fused_jit(sm, g, z_lo, z_hi, sigma, alpha, beta, bright, TZ, TYB,
+               Xp, nz, n_ty, interpret):
+    Zs, Y, X = sm.shape
+    Zr = z_hi - z_lo
+
+    # halo'd, edge-replicated, alignment-padded field:
+    #   P[z, y, x] = sm[clamp(z_lo - HZ + z), clamp(y - PADY), clamp(x - HZ)]
+    lo = max(z_lo - HZ, 0)
+    hi = min(z_hi + HZ + (nz * TZ - Zr), Zs)
+    core = jax.lax.slice_in_dim(sm, lo, hi, axis=0)
+    z_front = lo - (z_lo - HZ)
+    z_back = (z_lo - HZ + nz * TZ + 2 * HZ) - hi
+    pads = ((z_front, z_back),
+            (PADY, n_ty * TYB + PADY - Y),
+            (HZ, Xp - X - HZ))
+    P = jnp.pad(core, pads, mode="edge")
+    out = _pallas_response(P, g, TZ, TYB, Xp, nz, n_ty, sigma, alpha,
+                           beta, bright, interpret)
+    return out[:Zr, :Y, HZ:HZ + X]

@@ -199,7 +199,8 @@ def vesselness_stage(raw_volume, config: Optional[PipelineConfig] = None,
     v, t_up, t_comp = frangi_vesselness_streamed(
         raw_volume, sigmas=tuple(cfg.sigmas),
         alpha=cfg.alpha, beta=cfg.beta, gamma=cfg.gamma,
-        bright=cfg.bright, bits=bits)
+        bright=cfg.bright, bits=bits,
+        fused_response=cfg.fused_response)
     if timings is not None:
         timings.add("vesselness_upload", t_up)
         timings.add("vesselness_compute", t_comp)

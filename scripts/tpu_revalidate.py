@@ -163,8 +163,41 @@ def sec_banded_sweep(quick):
         flush=True)
 
 
+def sec_fused_response(quick):
+    """Does the fused Hessian+eigen+response kernel compile through the
+    remote AOT compiler, match the XLA apply path, and beat it?"""
+    import jax
+    import jax.numpy as jnp
+
+    from arterynetwork_tpu.ops.vesselness import (_hessian_from_smoothed,
+                                                  _response_from_hessian,
+                                                  _smooth)
+    from arterynetwork_tpu.ops.vesselness_fused import \
+        frangi_response_fused
+
+    rng = np.random.default_rng(3)
+    shapes = [(68, 512, 512)] + ([] if quick else [(68, 880, 880)])
+    for shape in shapes:
+        vol = jnp.asarray(rng.normal(0.1, 0.05, shape).astype(np.float32))
+        sm = _smooth(vol, 2.0)
+        _sync(sm)
+
+        xla_f = jax.jit(lambda s: _response_from_hessian(
+            _hessian_from_smoothed(s, 2.0), 0.5, 0.5, 0.7, True))
+        a, t_xla, _ = _timed(lambda: xla_f(sm))
+        b, t_fused, _ = _timed(
+            lambda: frangi_response_fused(sm, 2.0, 0.7))
+        diff = float(jnp.max(jnp.abs(a - b)))
+        print(json.dumps({
+            "section": "fused_response", "shape": list(shape),
+            "xla_s": t_xla, "fused_s": t_fused,
+            "speedup": t_xla / t_fused, "max_abs_diff": diff}),
+            flush=True)
+
+
 SECTIONS = {"vesselness": sec_vesselness, "frontier": sec_frontier,
-            "banded_sweep": sec_banded_sweep}
+            "banded_sweep": sec_banded_sweep,
+            "fused_response": sec_fused_response}
 
 
 def main():
