@@ -20,6 +20,7 @@ Usage:  python scripts/tpu_revalidate.py [--skip sec1,sec3] [--quick]
 """
 
 import argparse
+import functools
 import json
 import sys
 import time
@@ -74,7 +75,8 @@ def sec_vesselness(quick):
 
         # full-scale apply (what the pipeline actually runs)
         for sig in (1.0, 3.0):
-            _, t, _ = _timed(lambda: V._smooth(vol, sig), n=2)
+            sm_f = jax.jit(functools.partial(V._smooth, sigma=sig))
+            _, t, _ = _timed(lambda: sm_f(vol), n=2)
             print(json.dumps({
                 "section": "vesselness_smooth", "shape": list(shape),
                 "sigma": sig, "smooth_s": t}), flush=True)
