@@ -359,7 +359,10 @@ def frangi_vesselness_chunked(volume, sigmas=(1.0, 2.0, 3.0),
     # flag); the XLA workers keep their usual context
     ap_sm, ap, ctx = _apply_chunk_sm, _apply_chunk, contextlib.nullcontext
     if fused_response:
-        ap_sm, ap, ctx = _apply_chunk_sm_fused, _apply_chunk_fused, _x32
+        from .vesselness_fused import fused_response_supported
+        if fused_response_supported(shape_yx[1]):
+            ap_sm, ap, ctx = _apply_chunk_sm_fused, _apply_chunk_fused, \
+                _x32
     for sigma in sigmas:
         if gamma is None:
             # gamma pass caches the smoothed field per interior chunk so
@@ -710,7 +713,10 @@ def frangi_vesselness_streamed(raw, sigmas=(1.0, 2.0, 3.0),
     best = jnp.zeros((Zp,) + shape_yx, jnp.float32)
     ap_sm, ap, ctx = _apply_chunk_sm, _apply_chunk, contextlib.nullcontext
     if fused_response:
-        ap_sm, ap, ctx = _apply_chunk_sm_fused, _apply_chunk_fused, _x32
+        from .vesselness_fused import fused_response_supported
+        if fused_response_supported(shape_yx[1]):
+            ap_sm, ap, ctx = _apply_chunk_sm_fused, _apply_chunk_fused, \
+                _x32
 
     # phase 1 (wire-bound): slab uploads interleaved with the first
     # scale's smoothed-field/S-max chunks.  Chunk c reads padded rows

@@ -44,13 +44,75 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .vesselness import _response_from_hessian
-
-_x32 = functools.partial(jax.enable_x64, False)
+from .vesselness import _x32
 
 PADY = 8          # aligned y halo (2 of 8 rows used)
 HZ = 2            # z halo
 VMEM_BUDGET = 12 * 2 ** 20
+
+
+def _sel(cond, x, y):
+    """f32-mask select: Mosaic's 3D i1 vectors hit relayout bugs (trap
+    list in ops/region_grow_frontier.py), so the comparison is consumed
+    immediately into a f32 mask and the select is arithmetic.  Exact
+    for finite x/y (m is exactly 0.0 or 1.0)."""
+    m = cond.astype(jnp.float32)
+    return x * m + y * (1.0 - m)
+
+
+def _response_from_hessian_masked(hs, alpha, beta, g, bright):
+    """ops/vesselness._response_from_hessian with every vector select
+    rewritten as f32 mask arithmetic (no i1 vector algebra, no bool
+    AND) — the in-kernel form.  All operands are finite by
+    construction (p is clamped away from 0, arccos input clipped), so
+    the arithmetic select is value-identical to jnp.where."""
+    a11, a22, a33, a12, a13, a23 = hs
+    p1 = a12 * a12 + a13 * a13 + a23 * a23
+    q = (a11 + a22 + a33) / 3.0
+    b11, b22, b33 = a11 - q, a22 - q, a33 - q
+    p2 = b11 * b11 + b22 * b22 + b33 * b33 + 2.0 * p1
+    p = jnp.sqrt(jnp.maximum(p2 / 6.0, 1e-30))
+
+    inv_p = 1.0 / p
+    c11, c22, c33 = b11 * inv_p, b22 * inv_p, b33 * inv_p
+    c12, c13, c23 = a12 * inv_p, a13 * inv_p, a23 * inv_p
+    detb = (c11 * (c22 * c33 - c23 * c23)
+            - c12 * (c12 * c33 - c23 * c13)
+            + c13 * (c12 * c23 - c22 * c13))
+    r = jnp.clip(detb / 2.0, -1.0, 1.0)
+    phi = jnp.arccos(r) / 3.0
+
+    e1 = q + 2.0 * p * jnp.cos(phi)
+    e3 = q + 2.0 * p * jnp.cos(phi + 2.0 * jnp.pi / 3.0)
+    e2 = 3.0 * q - e1 - e3
+    m_tiny = (p2 < 1e-24).astype(jnp.float32)
+    e1 = q * m_tiny + e1 * (1.0 - m_tiny)
+    e2 = q * m_tiny + e2 * (1.0 - m_tiny)
+    e3 = q * m_tiny + e3 * (1.0 - m_tiny)
+
+    def swap_if(cond, x, y):
+        return _sel(cond, y, x), _sel(cond, x, y)
+
+    a, b, c = e3, e2, e1
+    a, b = swap_if(jnp.abs(a) > jnp.abs(b), a, b)
+    b, c = swap_if(jnp.abs(b) > jnp.abs(c), b, c)
+    a, b = swap_if(jnp.abs(a) > jnp.abs(b), a, b)
+    lam1, lam2, lam3 = a, b, c
+
+    eps = 1e-10
+    ra = jnp.abs(lam2) / (jnp.abs(lam3) + eps)
+    rb = jnp.abs(lam1) / (jnp.sqrt(jnp.abs(lam2 * lam3)) + eps)
+    s = jnp.sqrt(lam1 ** 2 + lam2 ** 2 + lam3 ** 2)
+    v = ((1.0 - jnp.exp(-(ra ** 2) / (2 * alpha ** 2)))
+         * jnp.exp(-(rb ** 2) / (2 * beta ** 2))
+         * (1.0 - jnp.exp(-(s ** 2) / (2 * g ** 2 + eps))))
+    if bright:
+        keep = ((lam2 < 0).astype(jnp.float32)
+                * (lam3 < 0).astype(jnp.float32))
+    else:
+        keep = ((lam2 > 0).astype(jnp.float32)
+                * (lam3 > 0).astype(jnp.float32))
+    return v * keep
 
 
 def _shift_z(x, d):
@@ -129,7 +191,7 @@ def _response_kernel(TZ, TYB, Xp, n_ty, sigma, alpha, beta, bright,
           _d1(dx, 0) * q,   # cross (0,2)
           _d1(dx, 1) * q)   # cross (1,2)
     g = g_ref[0, 0]
-    v = _response_from_hessian(hs, alpha, beta, g, bright)
+    v = _response_from_hessian_masked(hs, alpha, beta, g, bright)
     out_tile[par] = v[HZ:HZ + TZ, PADY:PADY + TYB, :]
     out_copy(step, par).start()
 
@@ -146,13 +208,22 @@ def _response_kernel(TZ, TYB, Xp, n_ty, sigma, alpha, beta, bright,
 def _pick_tile(Xp):
     """Largest (TZ, TYB) whose box intermediates fit the VMEM budget
     (the eigen/response chain keeps ~12 box-size values live at peak,
-    plus the double-buffered in/out scratch)."""
+    plus the double-buffered in/out scratch).  None when even the
+    smallest tile exceeds the budget — callers fall back to the XLA
+    apply path instead of attempting an over-budget compile."""
     for TZ, TYB in ((8, 24), (8, 16), (8, 8), (4, 8)):
         box = (TZ + 2 * HZ) * (TYB + 2 * PADY) * Xp * 4
         tile = TZ * TYB * Xp * 4
         if 12 * box + 2 * box + 2 * tile <= VMEM_BUDGET:
             return TZ, TYB
-    return 4, 8
+    return None
+
+
+def fused_response_supported(x_extent: int) -> bool:
+    """True when some tile fits the scoped-VMEM budget at this lane
+    extent (the dispatch guard for ``fused_response``)."""
+    Xp = -(-(int(x_extent) + 2 * HZ) // 128) * 128
+    return _pick_tile(Xp) is not None
 
 
 def _pallas_response(P, g, TZ, TYB, Xp, nz, n_ty, sigma, alpha, beta,
@@ -193,7 +264,13 @@ def response_range_dynamic(sm, z_lo, zr, sigma, g, alpha=0.5, beta=0.5,
     ``zr`` divisible by the z tile.  Call under jit."""
     Zs, Y, X = sm.shape
     Xp = -(-(X + 2 * HZ) // 128) * 128
-    TZ, TYB = tile if tile is not None else _pick_tile(Xp)
+    if tile is None:
+        tile = _pick_tile(Xp)
+        if tile is None:
+            raise ValueError(
+                f"no fused-response tile fits VMEM at x={X}; guard with "
+                "fused_response_supported() and use the XLA apply path")
+    TZ, TYB = tile
     if zr % TZ:
         TZ = 4 if zr % 4 == 0 else 1
     nz = zr // TZ
@@ -224,7 +301,13 @@ def frangi_response_fused(sm, sigma, g, alpha=0.5, beta=0.5,
         z_hi = Zs
     Zr = z_hi - z_lo
     Xp = -(-(X + 2 * HZ) // 128) * 128
-    TZ, TYB = tile if tile is not None else _pick_tile(Xp)
+    if tile is None:
+        tile = _pick_tile(Xp)
+        if tile is None:
+            raise ValueError(
+                f"no fused-response tile fits VMEM at x={X}; guard with "
+                "fused_response_supported() and use the XLA apply path")
+    TZ, TYB = tile
     nz = -(-Zr // TZ)
     n_ty = -(-Y // TYB)
 

@@ -569,10 +569,12 @@ def main():
         th = threading.Thread(target=_speck, daemon=True)
         th.start()
         th.join(1500.0)
-        # snapshot: on the timeout path the daemon thread may still be
-        # mutating `speck` while we read it
+        # liveness first, then snapshot: a thread finishing right after
+        # the join still lands its results; a thread finishing between
+        # the two calls can at worst add the error marker alongside them
+        alive = th.is_alive()
         snap = dict(speck)
-        if th.is_alive():
+        if alive and not snap:
             snap["speck_pipeline_error"] = \
                 "timed out (>1500 s; device op likely wedged)"
         detail.update(snap)

@@ -15,6 +15,9 @@ Covers the hardware proofs the CPU mesh cannot give:
      does its fixed point match the XLA path?  (If yes, flip the auto
      dispatch in ops/region_grow_fused.py to use it above the VMEM
      budget.)
+  4. fused Frangi response kernel (ops/vesselness_fused.py) vs the XLA
+     apply path: compile, match, and beat.  (If yes, default
+     cfg.vesselness.fused_response on.)
 
 Usage:  python scripts/tpu_revalidate.py [--skip sec1,sec3] [--quick]
 """
