@@ -85,3 +85,20 @@ def test_streamed_fused_response_matches_xla_path():
                                          fused_response=True)
     np.testing.assert_allclose(np.asarray(b), np.asarray(a),
                                rtol=1e-4, atol=1e-5)
+
+
+def test_unsupported_lane_extent_falls_back_cleanly():
+    """Huge x extents (no tile fits VMEM) are reported unsupported, the
+    kernel wrapper refuses loudly, and the chunked driver silently keeps
+    the XLA path instead of attempting an over-budget compile."""
+    import pytest as _pytest
+
+    from arterynetwork_tpu.ops.vesselness_fused import (
+        _pick_tile, frangi_response_fused, fused_response_supported)
+
+    assert fused_response_supported(512)
+    assert not fused_response_supported(4096)
+    assert _pick_tile(4224) is None
+    sm = jnp.zeros((4, 8, 4096), jnp.float32)
+    with _pytest.raises(ValueError, match="fused_response_supported"):
+        frangi_response_fused(sm, 1.0, 0.5, interpret=True)
