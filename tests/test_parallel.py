@@ -166,3 +166,23 @@ def test_mini_pipeline_sharded_end_to_end():
     if out["pressure_batch"] is not None:
         assert out["pressure_batch"].shape[0] == 8
         assert np.isfinite(out["pressure_batch"]).all()
+
+
+def test_sharded_vesselness_blocked_banded_matches_single_device():
+    """Sharded equality at an axis length that takes the block-banded
+    contraction path (y >= _BLOCKED_MIN_N): the reshape/window/einsum
+    chain must stay semantics-preserving under GSPMD partitioning."""
+    from arterynetwork_tpu.ops import vesselness as V
+    from arterynetwork_tpu.ops.vesselness import frangi_vesselness
+
+    rng = np.random.default_rng(7)
+    vol = rng.normal(0.1, 0.02, (8, V._BLOCKED_MIN_N, 24)) \
+        .astype(np.float32)
+    vol[3:6, 180:200, 8:16] = 1.0
+    single = np.asarray(frangi_vesselness(jnp.asarray(vol), sigmas=(2.0,)))
+
+    mesh = make_volume_mesh()
+    sh = NamedSharding(mesh, P("sx", "sy", None))
+    out = np.asarray(frangi_vesselness(
+        jax.device_put(jnp.asarray(vol), sh), sigmas=(2.0,)))
+    np.testing.assert_allclose(out, single, atol=1e-5, rtol=1e-4)
