@@ -313,6 +313,19 @@ def _response_from_hessian(hs, alpha, beta, g, bright):
     return v
 
 
+def _apply_workers(fused_response: bool, x_extent: int):
+    """(apply_sm, apply, jit-call context) for the response loops: the
+    fused Pallas workers when requested AND a tile fits the VMEM budget
+    at this lane extent, the XLA workers otherwise.  The fused workers
+    need the x32 context around the jitted CALL (Mosaic re-traces
+    reductions under the global x64 flag)."""
+    if fused_response:
+        from .vesselness_fused import fused_response_supported
+        if fused_response_supported(x_extent):
+            return _apply_chunk_sm_fused, _apply_chunk_fused, _x32
+    return _apply_chunk_sm, _apply_chunk, contextlib.nullcontext
+
+
 def frangi_vesselness_chunked(volume, sigmas=(1.0, 2.0, 3.0),
                               alpha=0.5, beta=0.5, gamma=None,
                               bright=True, chunk_z: int = 96,
@@ -357,12 +370,7 @@ def frangi_vesselness_chunked(volume, sigmas=(1.0, 2.0, 3.0),
     # fused (Pallas) apply workers need the x32 context around the
     # jitted CALL (Mosaic re-traces reductions under the global x64
     # flag); the XLA workers keep their usual context
-    ap_sm, ap, ctx = _apply_chunk_sm, _apply_chunk, contextlib.nullcontext
-    if fused_response:
-        from .vesselness_fused import fused_response_supported
-        if fused_response_supported(shape_yx[1]):
-            ap_sm, ap, ctx = _apply_chunk_sm_fused, _apply_chunk_fused, \
-                _x32
+    ap_sm, ap, ctx = _apply_workers(fused_response, shape_yx[-1])
     for sigma in sigmas:
         if gamma is None:
             # gamma pass caches the smoothed field per interior chunk so
@@ -487,8 +495,7 @@ def _apply_chunk_sm_fused(best, smf, start, g, sigma, alpha, beta,
     slab passes.  ``start`` stays dynamic — one compile per config."""
     from .vesselness_fused import response_range_dynamic
     v = response_range_dynamic(smf, start + halo, chunk_z, sigma, g,
-                               alpha, beta, bright,
-                               interpret=jax.default_backend() != "tpu")
+                               alpha, beta, bright)
     cur = jax.lax.dynamic_slice_in_dim(best, start, chunk_z, axis=0)
     return jax.lax.dynamic_update_slice_in_dim(
         best, jnp.maximum(cur, v), start, axis=0)
@@ -507,8 +514,7 @@ def _apply_chunk_fused(best, volp, start, g, sigma, alpha, beta, bright,
                                       axis=0)
     sm = _smooth(sl, sigma)
     v = response_range_dynamic(sm, halo, chunk_z, sigma, g, alpha,
-                               beta, bright,
-                               interpret=jax.default_backend() != "tpu")
+                               beta, bright)
     cur = jax.lax.dynamic_slice_in_dim(best, start, chunk_z, axis=0)
     return jax.lax.dynamic_update_slice_in_dim(
         best, jnp.maximum(cur, v), start, axis=0)
@@ -711,12 +717,7 @@ def frangi_vesselness_streamed(raw, sigmas=(1.0, 2.0, 3.0),
     starts = [c * chunk_z for c in range(n_chunks)]
     sigma0 = sigmas[0]
     best = jnp.zeros((Zp,) + shape_yx, jnp.float32)
-    ap_sm, ap, ctx = _apply_chunk_sm, _apply_chunk, contextlib.nullcontext
-    if fused_response:
-        from .vesselness_fused import fused_response_supported
-        if fused_response_supported(shape_yx[1]):
-            ap_sm, ap, ctx = _apply_chunk_sm_fused, _apply_chunk_fused, \
-                _x32
+    ap_sm, ap, ctx = _apply_workers(fused_response, shape_yx[-1])
 
     # phase 1 (wire-bound): slab uploads interleaved with the first
     # scale's smoothed-field/S-max chunks.  Chunk c reads padded rows

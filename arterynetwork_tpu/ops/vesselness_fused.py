@@ -255,13 +255,17 @@ def _pallas_response(P, g, TZ, TYB, Xp, nz, n_ty, sigma, alpha, beta,
 
 
 def response_range_dynamic(sm, z_lo, zr, sigma, g, alpha=0.5, beta=0.5,
-                           bright=True, tile=None, interpret=False):
+                           bright=True, tile=None, interpret=None):
     """Fused response of ``sm`` rows [z_lo, z_lo + zr) with a TRACED
     ``z_lo`` (one compile serves every chunk of the apply loop).
 
     Requires rows [z_lo - 2, z_lo + zr + 2) to exist in ``sm`` — true
     for every chunk of the halo-padded volume frame (halo >= 2) — and
-    ``zr`` divisible by the z tile.  Call under jit."""
+    ``zr`` divisible by the z tile.  Call under jit.  ``interpret``
+    defaults to interpret-mode off-TPU (parity tests on the CPU mesh)
+    and compiled on the device."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
     Zs, Y, X = sm.shape
     Xp = -(-(X + 2 * HZ) // 128) * 128
     if tile is None:
