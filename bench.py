@@ -507,27 +507,24 @@ def _device_alive(timeout_s: float = 240.0) -> bool:
     """Probe the accelerator with a hard timeout.
 
     The tunneled backend can go fully dark (daemon dead): every device
-    op then hangs forever, which would eat the whole bench slot.  A tiny
-    device round trip in a daemon thread bounds the wait (first compile
-    of a scalar op is seconds, so 240 s is generous)."""
-    import threading
+    op then hangs forever, which would eat the whole bench slot.  The
+    probe runs a tiny device round trip in a SUBPROCESS: initializing
+    the axon backend from a non-main thread deadlocks (observed after
+    the round-3 relay respawn — the daemon-thread probe hung forever
+    while main-thread init took ~12 s), and a subprocess both bounds the
+    wait and leaves this process's backend state untouched for the
+    main-thread initialization the benches do."""
+    import subprocess
 
-    ok = []
-
-    def probe():
-        try:
-            import jax
-            import jax.numpy as jnp
-
-            jax.device_get(jnp.zeros(()))
-            ok.append(True)
-        except Exception:
-            pass
-
-    t = threading.Thread(target=probe, daemon=True)
-    t.start()
-    t.join(timeout_s)
-    return bool(ok)
+    code = ("import jax, jax.numpy as jnp; "
+            "jax.device_get(jnp.zeros(())); print('ALIVE')")
+    try:
+        out = subprocess.run(
+            [sys.executable, "-c", code], timeout=timeout_s,
+            capture_output=True, text=True)
+    except subprocess.TimeoutExpired:
+        return False
+    return out.returncode == 0 and "ALIVE" in out.stdout
 
 
 def main():
