@@ -25,8 +25,13 @@ Usage:  python scripts/tpu_revalidate.py [--skip sec1,sec3] [--quick]
 import argparse
 import functools
 import json
+import os
 import sys
 import time
+
+# `python scripts/tpu_revalidate.py` puts scripts/ (not the repo root)
+# on sys.path — bootstrap the package location explicitly
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 
