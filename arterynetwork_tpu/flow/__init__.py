@@ -30,6 +30,13 @@ from .studies import (
     two_timepoint_comparison,
 )
 from .tree_solver import EliminationPlan, plan_elimination
+from .distribute import (
+    DistributeResult,
+    DistributeSystem,
+    build_distribute_system,
+    distribute_flow,
+    distribute_flow_study,
+)
 
 __all__ = [
     "GroundTruthResult",
@@ -66,4 +73,9 @@ __all__ = [
     "two_timepoint_comparison",
     "EliminationPlan",
     "plan_elimination",
+    "DistributeResult",
+    "DistributeSystem",
+    "build_distribute_system",
+    "distribute_flow",
+    "distribute_flow_study",
 ]
