@@ -22,7 +22,9 @@ volume faces; interior halos come from the real neighboring rows.
 Like the banded region-grow sweep, this backend is OPT-IN
 (``fused_response`` config / explicit call) until the remote AOT
 compiler proves it at the target shapes; interpret-mode parity against
-the XLA apply path is exact to elementwise-transcendental rounding.
+the XLA apply path is ~1e-5 absolute (the eigen cosines come from a
+Newton solve of the triple-angle cubic — Mosaic implements neither
+``acos`` nor ``cos`` — accurate to the f32 conditioning floor).
 
 Mosaic constraints honored (see ops/region_grow_frontier.py for the
 trap list): 8-aligned sublane DMA starts (TYB % 8 == 0, halo 8 rows of
@@ -80,10 +82,25 @@ def _response_from_hessian_masked(hs, alpha, beta, g, bright):
             - c12 * (c12 * c33 - c23 * c13)
             + c13 * (c12 * c23 - c22 * c13))
     r = jnp.clip(detb / 2.0, -1.0, 1.0)
-    phi = jnp.arccos(r) / 3.0
-
-    e1 = q + 2.0 * p * jnp.cos(phi)
-    e3 = q + 2.0 * p * jnp.cos(phi + 2.0 * jnp.pi / 3.0)
+    # cos(arccos(r)/3) WITHOUT trig: Mosaic's TPU lowering implements
+    # neither acos nor cos (KernelType.TC), so solve the triple-angle
+    # cubic 4c^3 - 3c = r for its largest root c in [1/2, 1] by Newton.
+    # Init from the local expansion at the r=-1 double root
+    # (c ~= 1/2 + sqrt((1+r)/6)), where plain Newton is only linearly
+    # convergent; 4 steps then reach the f32 conditioning floor
+    # everywhere (max |dc| ~5e-6 vs f64 trig; the f32 trig path itself
+    # sits ~1e-7, so fused-vs-XLA parity is ~1e-5 * ||H|| at worst).
+    c = jnp.minimum(
+        0.5 + jnp.sqrt(jnp.maximum(1.0 + r, 0.0) * (1.0 / 6.0)), 1.0)
+    for _ in range(4):
+        f = (4.0 * c * c - 3.0) * c - r
+        fp = jnp.maximum(12.0 * c * c - 3.0, 1e-6)
+        c = jnp.clip(c - f / fp, 0.5, 1.0)
+    # cos(phi + 2pi/3) = -c/2 - (sqrt(3)/2) * sin(phi), sin(phi) >= 0
+    # on phi in [0, pi/3]
+    s = jnp.sqrt(jnp.maximum(1.0 - c * c, 0.0))
+    e1 = q + 2.0 * p * c
+    e3 = q - p * c - jnp.float32(jnp.sqrt(3.0)) * p * s
     e2 = 3.0 * q - e1 - e3
     m_tiny = (p2 < 1e-24).astype(jnp.float32)
     e1 = q * m_tiny + e1 * (1.0 - m_tiny)
