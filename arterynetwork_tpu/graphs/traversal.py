@@ -80,6 +80,49 @@ def partition_bfs(G: nx.Graph, initial_voxels, boundary_voxels):
     return G, visited, segment_indices
 
 
+def random_walk_bfs2(G: nx.Graph, initial_voxels, boundary_voxels):
+    """Non-mutating re-traversal over precomputed ``depthVoxel``
+    (``randomWalkBFS2``, myFunctions.py:100-151).
+
+    Unlike ``partition_bfs`` this never writes to ``G``: it walks from
+    the initial voxels along neighbors whose stored ``depthVoxel`` is
+    strictly increasing (i.e. re-plays a previous traversal's wavefront
+    ordering), skipping boundary voxels and voxels the previous
+    traversal never labeled, and collects the segment indices crossed
+    when entering a bifurcation (degree >= 3) or segment end
+    (degree == 1).  Returns ``(G, visited_voxels, segment_index_list)``
+    with the same tuple contract as ``partition_bfs``.
+    """
+    initial = [tuple(v) for v in initial_voxels]
+    boundary = set(tuple(v) for v in boundary_voxels)
+
+    visited: List[Tuple] = list(initial)
+    seen = set(initial)
+    pool = list(initial)
+    segment_indices: List[int] = []
+    while pool:
+        nxt = []
+        for cur in pool:
+            if "depthVoxel" not in G.nodes[cur]:
+                continue
+            cur_depth = G.nodes[cur]["depthVoxel"]
+            for v in G.neighbors(cur):
+                if (v in boundary or v in seen
+                        or "depthVoxel" not in G.nodes[v]
+                        or G.nodes[v]["depthVoxel"] <= cur_depth):
+                    continue
+                seen.add(v)
+                deg = G.degree(v)
+                if deg >= 3 or deg == 1:
+                    seg = G[cur][v].get("segmentIndex")
+                    if seg is not None:
+                        segment_indices.append(seg)
+                nxt.append(v)
+                visited.append(v)
+        pool = nxt
+    return G, visited, segment_indices
+
+
 def assign_segment_levels(G: nx.Graph, segments) -> None:
     """Per-segment ``segmentLevel`` = min node depthLevel over the segment
     (partitionCompartmentGUIDetail.py semantics); stored on each edge."""

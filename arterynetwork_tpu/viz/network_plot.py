@@ -60,16 +60,24 @@ def _tree_layout(net: FlowNetwork):
 def plot_network(net: FlowNetwork, node_values=None, edge_values=None,
                  node_labels=None, edge_labels=None, title=None,
                  node_colorbar_label=None, edge_colorbar_label=None,
-                 path=None, figsize=(15, 8)):
+                 path=None, figsize=(15, 8), vmin=None, vmax=None,
+                 edge_vmin=None, edge_vmax=None, hide_colorbar=False):
     """Hierarchical network plot with value colormaps
-    (plotNetwork parity, fluidSimulation.py:2807-2876)."""
+    (plotNetwork parity, fluidSimulation.py:2807-2876).
+
+    ``vmin``/``vmax``/``edge_vmin``/``edge_vmax`` pin the color scales
+    (the reference's shared-legend multi-figure comparisons,
+    fluidSimulation.py:2862-2868) and ``hide_colorbar`` suppresses the
+    in-figure colorbar so a ``graph_plot_standalone_legend`` figure can
+    carry one legend for several plots."""
     xs, ys = _tree_layout(net)
     fig, ax = plt.subplots(figsize=figsize)
 
     if edge_values is not None:
         ev = np.asarray(edge_values, dtype=float)
-        enorm = plt.Normalize(ev.min(), ev.max() if ev.max() > ev.min()
-                              else ev.min() + 1)
+        lo = ev.min() if edge_vmin is None else edge_vmin
+        hi = ev.max() if edge_vmax is None else edge_vmax
+        enorm = plt.Normalize(lo, hi if hi > lo else lo + 1)
         ecmap = plt.get_cmap("jet")
     for e in range(net.num_edges):
         h, t = int(net.heads[e]), int(net.tails[e])
@@ -83,10 +91,12 @@ def plot_network(net: FlowNetwork, node_values=None, edge_values=None,
 
     if node_values is not None:
         nv = np.asarray(node_values, dtype=float)
-        sc = ax.scatter(xs, ys, c=nv, cmap="jet", s=30, zorder=2)
-        cb = fig.colorbar(sc, ax=ax)
-        if node_colorbar_label:
-            cb.set_label(node_colorbar_label)
+        sc = ax.scatter(xs, ys, c=nv, cmap="jet", s=30, zorder=2,
+                        vmin=vmin, vmax=vmax)
+        if not hide_colorbar:
+            cb = fig.colorbar(sc, ax=ax)
+            if node_colorbar_label:
+                cb.set_label(node_colorbar_label)
     else:
         ax.scatter(xs, ys, c="k", s=15, zorder=2)
     if node_labels is not None:
@@ -97,6 +107,38 @@ def plot_network(net: FlowNetwork, node_values=None, edge_values=None,
     ax.set_axis_off()
     if path:
         fig.savefig(path, dpi=110, bbox_inches="tight")
+    return fig
+
+
+def graph_plot_standalone_legend(vmin, vmax, edge_vmin, edge_vmax,
+                                 node_label="Pressure (mmHg)",
+                                 edge_label="Flow rate (cm^3/s)",
+                                 label_size=18, tick_size=18, path=None):
+    """Standalone legend figure: two horizontal colorbars spanning the
+    shared node/edge scales (``graphPlotStandaloneLegend``,
+    fluidSimulation.py:4006-4032) — pairs with ``hide_colorbar=True``
+    network plots."""
+    import matplotlib as mpl
+
+    fig = plt.figure(figsize=(12, 8))
+    plt.subplots_adjust(left=0.15, right=0.85, top=0.94, bottom=0.06,
+                        wspace=0.3, hspace=0.9)
+    ax1 = fig.add_axes([0.15, 0.9, 0.7, 0.04])
+    cb1 = mpl.colorbar.ColorbarBase(
+        ax1, cmap=plt.get_cmap("jet"),
+        norm=mpl.colors.Normalize(vmin=vmin, vmax=vmax),
+        orientation="horizontal")
+    cb1.set_label(node_label, size=label_size)
+    cb1.ax.tick_params(labelsize=tick_size)
+    ax2 = fig.add_axes([0.15, 0.75, 0.7, 0.04])
+    cb2 = mpl.colorbar.ColorbarBase(
+        ax2, cmap=plt.get_cmap("jet"),
+        norm=mpl.colors.Normalize(vmin=edge_vmin, vmax=edge_vmax),
+        orientation="horizontal")
+    cb2.set_label(edge_label, size=label_size)
+    cb2.ax.tick_params(labelsize=tick_size)
+    if path:
+        fig.savefig(path, dpi=110)
     return fig
 
 

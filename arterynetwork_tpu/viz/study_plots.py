@@ -463,6 +463,55 @@ def show_result_gbm_test5(store, net, num_timesteps: int = 5,
             "flow": flows, "figures": figs}
 
 
+def show_result2_gbm_test5(store, net, timesteps=(0, 4),
+                           out_dir: Optional[str] = None,
+                           version: int = 1):
+    """Two-timestep pressure/flow comparison with ONE shared legend
+    (``showResult2_GBMTest5``, fluidSimulation.py:3926-4004): both
+    network plots are drawn with common vmin/vmax (node = pressure in
+    mmHg, edge = flow in cm^3/s) and hidden in-figure colorbars, and a
+    third standalone-legend figure carries the shared scales."""
+    import os
+
+    from ..constants import PASCAL_PER_MMHG
+    from .network_plot import graph_plot_standalone_legend, plot_network
+
+    records = []
+    for t in timesteps:
+        blob = store.load_pickle(
+            "fluidSimulationResult_GBMTest5_Timestep={}_v{}.pkl".format(
+                t, version))
+        pressure_mmhg = np.round(
+            np.asarray(blob["pressure"]) / PASCAL_PER_MMHG, 1)
+        flow_cm3s = np.round(np.asarray(blob["flow"]) * 1e6, 2)
+        records.append((t, pressure_mmhg, flow_cm3s))
+
+    all_p = np.concatenate([p for _, p, _ in records])
+    all_q = np.concatenate([q for _, _, q in records])
+    vmin, vmax = float(all_p.min()), float(all_p.max())
+    edge_vmin, edge_vmax = float(all_q.min()), float(all_q.max())
+
+    figs = []
+    for t, p, q in records:
+        path = (os.path.join(out_dir, "gbm5_compare_t{}.png".format(t))
+                if out_dir else None)
+        figs.append(plot_network(
+            net, node_values=p, edge_values=q,
+            vmin=vmin, vmax=vmax, edge_vmin=edge_vmin,
+            edge_vmax=edge_vmax, hide_colorbar=True,
+            title="GBM_Time step={}".format(t), path=path))
+    legend_path = (os.path.join(out_dir, "gbm5_compare_legend.png")
+                   if out_dir else None)
+    figs.append(graph_plot_standalone_legend(
+        vmin, vmax, edge_vmin, edge_vmax,
+        node_label="Pressure (mmHg)",
+        edge_label="Flow rate (cm^3/s)", path=legend_path))
+    return {"timesteps": list(timesteps),
+            "node_range_mmhg": (vmin, vmax),
+            "edge_range_cm3s": (edge_vmin, edge_vmax),
+            "figures": figs}
+
+
 def _draw_reduced_graph(ax, DG, node_values, edge_values, nnorm, enorm,
                         ncmap, ecmap, title):
     """Draw one compartment's reduced graph using voxel-coordinate
@@ -541,3 +590,16 @@ def graph_plot_per_partition(G, segment_list, segment_info, node_info,
                            pad=0.06)
         cbe.set_label("Radius (mm)")
     return _save(fig, path)
+
+
+def graph_plot_per_partition2(G, segment_list, segment_info, node_info,
+                              partition_info, spacing_mm: float = 0.4,
+                              dataset_name: str = "GBM", path=None):
+    """The shared-colorbar variant by name (``graphPlotPerPartition2``,
+    graphRelated.py:1672-1745): all five compartments normalized to one
+    node scale (Murray's-law ratio) and one edge scale (radius in mm)
+    with a single pair of colorbars."""
+    return graph_plot_per_partition(
+        G, segment_list, segment_info, node_info, partition_info,
+        spacing_mm=spacing_mm, shared_colorbar=True,
+        dataset_name=dataset_name, path=path)

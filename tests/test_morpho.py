@@ -82,6 +82,31 @@ def test_partition_bfs_depths():
     assert len(visited) == len(G.nodes())
 
 
+def test_random_walk_bfs2_replays_without_mutating():
+    """randomWalkBFS2 (myFunctions.py:100-151): re-traverses the stored
+    depthVoxel labels, reproducing partition_bfs's reach and segment
+    list without touching the graph."""
+    from arterynetwork_tpu.graphs.traversal import random_walk_bfs2
+
+    segments = _y_segments()
+    G = _graph_from_segments(segments)
+    root = segments[0][0]
+    partition_bfs(G, [root], [])
+    before = {n: dict(G.nodes[n]) for n in G.nodes()}
+
+    G2, visited, seg_ids = random_walk_bfs2(G, [root], [])
+    assert set(visited) == set(G.nodes())
+    assert set(seg_ids) == {0, 1, 2}
+    after = {n: dict(G.nodes[n]) for n in G.nodes()}
+    assert before == after  # non-mutating
+
+    # boundary voxels stop the walk
+    junction = (30, 30, 30)
+    _, visited_b, seg_ids_b = random_walk_bfs2(G, [root], [junction])
+    assert junction not in visited_b
+    assert len(visited_b) < len(visited)
+
+
 def test_reduce_graph():
     segments = _y_segments()
     G = _graph_from_segments(segments)

@@ -180,6 +180,36 @@ def test_show_result_gbm_test5(tmp_path):
         assert os.path.getsize(str(tmp_path / f"gbm5_tp_option{o}.png")) > 1000
 
 
+def test_show_result2_gbm_test5(tmp_path):
+    """showResult2_GBMTest5 (fluidSimulation.py:3926-4004): two
+    timesteps rendered with shared scales + one standalone legend."""
+    import jax.numpy as jnp
+
+    from arterynetwork_tpu.flow import save_gbm_test5_results
+    from arterynetwork_tpu.flow.longitudinal import run_longitudinal
+    from arterynetwork_tpu.io.artifacts import ArtifactStore
+    from arterynetwork_tpu.viz import show_result2_gbm_test5
+
+    net, gt = _solved_net(2)
+    parts = _partitions(net)
+    batch, sol = run_longitudinal(net, gt.pressure, net.radius * 0.9,
+                                  num_timesteps=3, partitions=parts,
+                                  dtype=jnp.float64)
+    store = ArtifactStore(str(tmp_path))
+    save_gbm_test5_results(store, net, batch, sol)
+    out = show_result2_gbm_test5(store, net, timesteps=(0, 2),
+                                 out_dir=str(tmp_path))
+    assert out["timesteps"] == [0, 2]
+    lo, hi = out["node_range_mmhg"]
+    assert np.isfinite([lo, hi]).all() and lo <= hi
+    for t in (0, 2):
+        f = str(tmp_path / f"gbm5_compare_t{t}.png")
+        assert os.path.exists(f) and os.path.getsize(f) > 1000
+    assert os.path.getsize(str(tmp_path / "gbm5_compare_legend.png")) > 1000
+    # hidden in-figure colorbars: the two plots must have exactly 1 axes
+    assert all(len(f.axes) == 1 for f in out["figures"][:2])
+
+
 def test_graph_plot_per_partition_variants(tmp_path):
     """graphPlotPerPartition / graphPlotPerPartition2 parity drivers
     (graphRelated.py:1635-1718): per-compartment reduced-graph plots
@@ -202,6 +232,15 @@ def test_graph_plot_per_partition_variants(tmp_path):
     assert os.path.getsize(p2) > 1000
     # panels + 2 shared colorbars
     assert len(fig2_.axes) == len(partition_info) + 2
+
+    # the named second variant (graphRelated.py:1672)
+    from arterynetwork_tpu.viz import graph_plot_per_partition2
+
+    p3 = str(tmp_path / "per_part2.png")
+    fig3_ = graph_plot_per_partition2(G, segments, seg_info, node_info,
+                                      partition_info, path=p3)
+    assert os.path.getsize(p3) > 1000
+    assert len(fig3_.axes) == len(partition_info) + 2
 
 
 def test_load_basic_files_bundle(tmp_path):
