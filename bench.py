@@ -104,6 +104,25 @@ def bench_flow_large():
         out[f"flow_solve_ms_{tag}"] = t * 1e3
         out[f"flow_edges_{tag}"] = net.num_edges
         out[f"flow_rel_pressure_err_{tag}"] = float(err)
+
+        if tag == "16k":
+            # attribute the compensated-refinement cost (VERDICT r4 #9):
+            # same solve with refine_steps=0 — plain f32 Newton stalls
+            # near ~5e-6 relative; the 2 double-single steps buy <=1e-6
+            def run_norefine():
+                sol = solve_pressure_newton(system, max_iter=60, tol=1e-9,
+                                            linear_solver="auto",
+                                            plan=plan, refine_steps=0)
+                jax.device_get(sol.residual_norm)
+                return sol
+
+            t0 = _median_time(run_norefine, n=3, warmup=1)
+            sol0 = run_norefine()
+            err0 = np.nanmax(np.abs(
+                np.asarray(sol0.pressure, dtype=np.float64)
+                - gt.pressure) / np.abs(gt.pressure))
+            out["flow_solve_ms_16k_norefine"] = t0 * 1e3
+            out["flow_rel_pressure_err_16k_norefine"] = float(err0)
     out["flow_solve_ms"] = out["flow_solve_ms_16k"]
     return out
 
