@@ -59,6 +59,15 @@ class SegmentationConfig:
     # connected, strong seeds reject isolated noise.  None = plain
     # single-threshold mask (exact reference semantics).
     weak_threshold_fraction: Optional[float] = None
+    # Axial tip extension (thin-tip recall): before component
+    # selection, grow the weak mask into voxels above this (lower)
+    # fraction of the vesselness range, but only where the candidate
+    # touches <= tip_neighbor_max mask voxels (an axial continuation
+    # beyond a tube end, not a lateral halo), for tip_iters steps.
+    # None = off.  See pipeline._tip_extended_weak.
+    tip_fraction: Optional[float] = None
+    tip_iters: int = 3
+    tip_neighbor_max: int = 4
     # Zero the response within this many voxels of the volume faces:
     # the filter's boundary band is unreliable (the reference suppresses
     # near-boundary responses the same way via the brain-mask distance,

@@ -145,6 +145,37 @@ def _any_pool2(m):
     return out > 0
 
 
+@_functools.partial(_jax.jit, static_argnames=("iters", "nbr_max", "margin"))
+def _tip_extended_weak(v, weak, tip_frac, iters, nbr_max, margin=0):
+    """Axial tip extension of the weak mask (thin-tip recall recovery).
+
+    The hysteresis weak floor loses the last voxels of radius-1..2
+    branches: the Frangi response decays at a vessel END (the local
+    structure is a half-line, and the blob penalty kicks in), so the
+    tip falls below ``weak_frac`` while still carrying a clear ridge
+    response.  Growing the whole weak mask into a lower floor is the
+    measured-bad move (lateral halos distort radii and cost centerline
+    recall — CLAUDE.md threshold sweep); instead this grows ONLY where
+    the candidate voxel touches few mask voxels (``nbr_max``): an axial
+    continuation beyond a tube end touches 1-4 mask voxels, a lateral
+    halo voxel alongside the tube touches more.  ``iters`` bounds the
+    extension length.  Runs before component selection, so noise-only
+    growth stays unselected (no extra wire, no host round trip).
+    """
+    from .ops.stencil import neighbor_count26
+
+    vmin = _jnp.min(v)
+    rng = _jnp.max(v) - vmin
+    tip = v > vmin + tip_frac * rng
+    if margin:
+        tip = tip & _border_core(v.shape, margin)
+    m = weak
+    for _ in range(iters):
+        nc = neighbor_count26(m)
+        m = m | (tip & (nc >= 1) & (nc <= nbr_max))
+    return m
+
+
 @_functools.partial(_jax.jit, static_argnames=("margin",))
 def _threshold_hysteresis(v, weak_frac, strong_frac, margin=0):
     """(weak mask, 2x-pooled strong mask) for hysteresis selection."""
@@ -253,6 +284,10 @@ def generate_vessel_mask(vesselness, brain_mask=None,
             weak_d, strong_ds = _threshold_hysteresis(
                 v, cfg.weak_threshold_fraction,
                 cfg.global_threshold_fraction, margin)
+        if cfg.tip_fraction is not None:
+            weak_d = _tip_extended_weak(
+                v, weak_d, cfg.tip_fraction, int(cfg.tip_iters),
+                int(cfg.tip_neighbor_max), margin)
         from .utils.transfer import sparse_mask_to_host_packed
 
         # both masks cross as occupied 8x8x16-voxel blocks only (the

@@ -229,6 +229,43 @@ def test_graph_stage_box_coordinates_match_full_frame():
             np.testing.assert_allclose(a[k], b[k], rtol=1e-12)
 
 
+def test_tip_extension_recovers_axial_tips_only():
+    """_tip_extended_weak: voxels above the tip floor beyond a vessel
+    end (few mask neighbors) join the mask; voxels beside a thick
+    vessel face (many neighbors) and isolated voxels do not."""
+    from arterynetwork_tpu.config import PipelineConfig
+    from arterynetwork_tpu.pipeline import generate_vessel_mask
+
+    shape = (32, 32, 48)
+    rng = np.random.default_rng(1)
+    v = rng.random(shape).astype(np.float32) * 0.004
+    v[16, 16, 8:30] = 1.0                # thin vessel (weak+strong pass)
+    v[16, 16, 30:33] = 0.02              # fading tip: below weak floor,
+    #                                      above the tip floor
+    v[4:11, 4:11, 8:30] = 1.0            # thick vessel
+    v[4:11, 12, 18] = 0.02               # lateral halo beside its face
+    v[28, 28, 40] = 0.02                 # isolated voxel (no neighbor)
+
+    cfg = PipelineConfig()
+    cfg.segmentation.weak_threshold_fraction = 0.05
+    cfg.segmentation.global_threshold_fraction = 0.5
+    cfg.segmentation.min_component_size = 5
+    # copy: generate_vessel_mask reuses a cached scratch frame across
+    # calls (pipeline._mask_scratch), so the next call writes over it
+    base = generate_vessel_mask(v, config=cfg).copy()
+    assert not base[16, 16, 30:33].any()         # tip lost without it
+
+    cfg.segmentation.tip_fraction = 0.01
+    cfg.segmentation.tip_iters = 3
+    cfg.segmentation.tip_neighbor_max = 4
+    mask = generate_vessel_mask(v, config=cfg)
+    assert mask[16, 16, 30:33].all()             # axial tip recovered
+    assert not mask[4:11, 12, 18].any()          # thick-face halo blocked
+    assert not mask[28, 28, 40]                  # isolated: never grown
+    # nothing else changed
+    assert (mask.astype(bool) ^ base.astype(bool)).sum() == 3
+
+
 def test_hysteresis_mask_with_brain_boundary_suppression():
     """Hysteresis + brain mask: near-boundary low responses are zeroed
     (generateVesselVolume.py:186-191 semantics) while interior vessels
