@@ -367,12 +367,20 @@ def region_grow_frontier(
     num_bins: int = 256,
     tile=(8, 16),
     k_max: int = 256,
-    nb: int = 4,
+    nb: int = 1,
     interpret: bool = False,
 ) -> RegionGrowResult:
     """Frontier-tile region growing (same fixed point as ``region_grow``
     with ``excluded_mask=None``).  ``nb`` tiles are batched per grid
-    step (auto-clamped to the scoped-VMEM budget)."""
+    step (auto-clamped to the scoped-VMEM budget).
+
+    ``nb`` defaults to 1: the r4 nb=4 batching was measured SLOWER on
+    hardware (REVALIDATE_r05: 0.176 vs 0.147 s on the 512 bench
+    workload, and 0.106 vs 0.110 on a straight tube — never better than
+    ~4%), costs 2-4x the compile time (686 s vs 184 s cold at
+    512x512x170), and crashes the remote AOT compiler at 512^3 shapes
+    (HTTP 500).  Exact fixed-point parity between the two was verified
+    on both workloads before flipping the default back."""
     assert num_bins % 32 == 0
     with _x32():
         return _region_grow_frontier_jit(
