@@ -10,7 +10,7 @@ values are the defaults, with SURVEY.md file:line provenance.
 from __future__ import annotations
 
 import dataclasses
-from typing import Dict, Optional, Sequence, Tuple
+from typing import Dict, Optional, Sequence, Tuple, Union
 
 from .constants import DEFAULT_SPACING, INLET_FLOW, INLET_PRESSURE
 
@@ -35,12 +35,16 @@ class VesselnessConfig:
     # your own acquisitions before dropping below bq4), or "f16"
     # (utils/transfer.upload_quantized)
     upload_format: str = "u12"
-    # opt-in fused Pallas response kernel (Hessian+eigen+tubularity in
-    # one pass from the smoothed field, ops/vesselness_fused.py) —
-    # exact interpret-mode parity; off until the remote AOT compiler
-    # proves it at the target shapes (same policy as the banded
-    # region-grow sweep)
-    fused_response: bool = False
+    # fused Pallas response kernel (Hessian+eigen+tubularity in one
+    # pass from the smoothed field, ops/vesselness_fused.py).  Proven
+    # on hardware in round 5 (REVALIDATE_r05.json): 1.51x the XLA
+    # apply path at the Speck 880x880 plane, wall-neutral at 512,
+    # max |diff| ~1e-5 (below the round-4 mask-threshold sensitivity).
+    # "auto" = fused on a real TPU, XLA elsewhere (interpret-mode
+    # Pallas would slow the CPU test mesh for no benefit); dispatch
+    # additionally guards on fused_response_supported() — unsupported
+    # lane extents fall back to the XLA path.  True/False force it.
+    fused_response: Union[bool, str] = "auto"
 
 
 @dataclasses.dataclass

@@ -313,12 +313,16 @@ def _response_from_hessian(hs, alpha, beta, g, bright):
     return v
 
 
-def _apply_workers(fused_response: bool, x_extent: int):
+def _apply_workers(fused_response, x_extent: int):
     """(apply_sm, apply, jit-call context) for the response loops: the
     fused Pallas workers when requested AND a tile fits the VMEM budget
-    at this lane extent, the XLA workers otherwise.  The fused workers
-    need the x32 context around the jitted CALL (Mosaic re-traces
-    reductions under the global x64 flag)."""
+    at this lane extent, the XLA workers otherwise.  ``"auto"`` (the
+    config default) means fused on a real TPU only — off-device the
+    kernel would run in interpret mode, slower than XLA for no benefit.
+    The fused workers need the x32 context around the jitted CALL
+    (Mosaic re-traces reductions under the global x64 flag)."""
+    if fused_response == "auto":
+        fused_response = jax.default_backend() == "tpu"
     if fused_response:
         from .vesselness_fused import fused_response_supported
         if fused_response_supported(x_extent):
@@ -330,7 +334,7 @@ def frangi_vesselness_chunked(volume, sigmas=(1.0, 2.0, 3.0),
                               alpha=0.5, beta=0.5, gamma=None,
                               bright=True, chunk_z: int = 96,
                               donate_input: bool = False,
-                              fused_response: bool = False):
+                              fused_response="auto"):
     """Multiscale Frangi for volumes whose full-grid temporaries exceed
     HBM (~8 f32 fields per scale; a 880x880x640 Speck volume OOMs one
     v5e chip).  The volume is processed in halo'd z slabs; when
@@ -591,7 +595,7 @@ def frangi_vesselness_streamed(raw, sigmas=(1.0, 2.0, 3.0),
                                alpha=0.5, beta=0.5, gamma=None,
                                bright=True, chunk_z: int = 48,
                                bits: int = 8,
-                               fused_response: bool = False):
+                               fused_response="auto"):
     """Multiscale Frangi from a HOST volume with the upload streamed
     slab-by-slab, overlapped with the first scale's gamma pass.
 
