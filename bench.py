@@ -345,7 +345,12 @@ def bench_pipeline_512():
     raw = phantom_raw_volume(phantom)
 
     cfg = PipelineConfig()
-    cfg.vesselness.sigmas = (1.0, 2.0, 3.0)
+    # the sigma=0.75 scale is the thin-tip recall fix (TIPRECALL_r05:
+    # mask recall 0.985-0.988 vs 0.954-0.958 without it, terminals
+    # 197-219/202 vs 190-201, centerline precision held >= 0.9896,
+    # across phantom seeds 0-4; time-neutral — its gamma pass hides
+    # under the upload wire like the others)
+    cfg.vesselness.sigmas = (0.75, 1.0, 2.0, 3.0)
     # row-adaptive 4-bit wire (0.5 B/voxel, 22 MB at this shape): the
     # tunnel link is the stage bottleneck; fidelity measured equal to
     # u8 across phantom seeds and re-verified by the metrics below on
@@ -500,7 +505,8 @@ def bench_speck_pipeline():
                                     root_radius=7.0, seed=0)
     raw = phantom_raw_volume(phantom)
     cfg = PipelineConfig()
-    cfg.vesselness.sigmas = (1.0, 2.0, 3.0)
+    # sigma=0.75 for thin-tip recall, as at 512 (TIPRECALL_r05)
+    cfg.vesselness.sigmas = (0.75, 1.0, 2.0, 3.0)
     # row-adaptive 3-bit wire (0.375 B/voxel, ~186 MB here): centerline/
     # mask recall measured equal to bq4 across phantom seeds 0-2 on the
     # CPU-mesh study (bq2 dropped centerline recall 0.018 on one seed)
