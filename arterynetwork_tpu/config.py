@@ -50,6 +50,19 @@ class VesselnessConfig:
     # additionally guards on fused_response_supported() — unsupported
     # lane extents fall back to the XLA path.  True/False force it.
     fused_response: Union[bool, str] = "auto"
+    # Occupancy-skipped upload for the bq formats: (z,y)-row chunks whose
+    # intensity range is below 25% of the slab range (pure background on
+    # MRA-like data — vessel contrast >> noise) ship no payload bytes and
+    # dequantize to their row midpoint; kept chunks decode bit-exactly
+    # (one-hot-matmul scatter, ops/vesselness._upload_slab_bq_sparse).
+    # The wire is the vesselness stage's bottleneck and 80-90% of rows
+    # are background at both bench scales (13-27% of chunks kept), so
+    # this cuts the stage's upload phase ~2x (512: 1.14 -> 0.54 s;
+    # Speck: 8.1 -> 4.8 s on matched runs).  Fidelity-identical on the
+    # bench phantoms seeds 0-2 (UPLOADSKIP_r05.jsonl: every tree metric
+    # equal, mask voxels within 7 of 338k).  Flip off for acquisitions
+    # where sub-noise background detail matters.
+    upload_skip: bool = True
 
 
 @dataclasses.dataclass

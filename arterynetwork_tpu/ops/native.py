@@ -131,6 +131,20 @@ def get_lib():
         ctypes.POINTER(ctypes.c_float),
         ctypes.POINTER(ctypes.c_float),
     ]
+    lib.bqn_row_stats_f32.restype = None
+    lib.bqn_row_stats_f32.argtypes = [
+        ctypes.POINTER(ctypes.c_float),
+        ctypes.c_long, ctypes.c_long,
+        ctypes.POINTER(ctypes.c_float),
+        ctypes.POINTER(ctypes.c_float),
+    ]
+    lib.bqn_pack_rows_f32.restype = None
+    lib.bqn_pack_rows_f32.argtypes = [
+        ctypes.POINTER(ctypes.c_float),
+        ctypes.c_long, ctypes.c_int,
+        ctypes.POINTER(ctypes.c_int64), ctypes.c_long,
+        ctypes.POINTER(ctypes.c_uint8),
+    ]
     lib.ensure_simple_lut.restype = ctypes.c_int
     lib.ensure_simple_lut.argtypes = [ctypes.c_char_p]
     # one 8 MiB bit table answers the simple-point test in a load
@@ -518,3 +532,44 @@ def bq_pack_native(slab: np.ndarray, bits: int = 4):
 def bq4_pack_native(slab: np.ndarray):
     """Row-adaptive 4-bit pack (see ``bq_pack_native``)."""
     return bq_pack_native(slab, bits=4)
+
+
+def bq_row_stats_native(slab: np.ndarray):
+    """Per-(z,y)-row min/max of a contiguous f32 slab (rows, ny, nx) —
+    the keep/skip decision pass of the occupancy-skipped upload.  Scan
+    order matches ``bq_pack_native``, so derived scale/min sidebands are
+    bit-identical to the full pack's."""
+    if slab.dtype != np.float32 or not slab.flags['C_CONTIGUOUS']:
+        raise ValueError("bq_row_stats_native needs contiguous f32")
+    rows, ny, nx = slab.shape
+    row_min = np.empty((rows, ny), np.float32)
+    row_max = np.empty((rows, ny), np.float32)
+    get_lib().bqn_row_stats_f32(
+        slab.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        rows * ny, nx,
+        row_min.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        row_max.ctypes.data_as(ctypes.POINTER(ctypes.c_float)))
+    return row_min, row_max
+
+
+def bq_pack_rows_native(slab: np.ndarray, rows_sel: np.ndarray,
+                        bits: int = 4):
+    """Quantize+pack only the selected flattened (z,y) rows of ``slab``
+    (contiguous f32 (rows, ny, nx)); output row j is input row
+    ``rows_sel[j]``, bit-identical to the same row of
+    ``bq_pack_native``.  Returns packed u8 (k, nx*bits//8)."""
+    need = {4: 2, 3: 8, 2: 4}[bits]
+    if slab.dtype != np.float32 or not slab.flags['C_CONTIGUOUS'] \
+            or slab.shape[-1] % need:
+        raise ValueError("bq_pack_rows_native needs contiguous f32, "
+                         f"nx % {need} == 0")
+    nx = slab.shape[-1]
+    rows_sel = np.ascontiguousarray(rows_sel, np.int64)
+    k = rows_sel.shape[0]
+    packed = np.empty((k, nx * bits // 8), np.uint8)
+    get_lib().bqn_pack_rows_f32(
+        slab.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        nx, bits,
+        rows_sel.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)), k,
+        packed.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))
+    return packed

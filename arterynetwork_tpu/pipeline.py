@@ -231,7 +231,8 @@ def vesselness_stage(raw_volume, config: Optional[PipelineConfig] = None,
         raw_volume, sigmas=tuple(cfg.sigmas),
         alpha=cfg.alpha, beta=cfg.beta, gamma=cfg.gamma,
         bright=cfg.bright, bits=bits,
-        fused_response=cfg.fused_response)
+        fused_response=cfg.fused_response,
+        skip_background=bool(cfg.upload_skip) and bits <= 4)
     if timings is not None:
         timings.add("vesselness_upload", t_up)
         timings.add("vesselness_compute", t_comp)

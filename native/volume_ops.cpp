@@ -588,10 +588,64 @@ long nonzero_indices_u8(const uint8_t* vol, long n,
 // packed MSB-first — 2 voxels/byte (bits=4, nx even), 8 voxels/3 bytes
 // (bits=3, nx%8==0), or 4 voxels/byte (bits=2, nx%4==0).  Matches the
 // numpy fallbacks bit-exactly (rintf == np.round, half-to-even).
+static void bq_pack_one_row(const float* row, long nx, int bits, int qmax,
+                            uint8_t* out, float* scale_out, float* min_out) {
+    float mn = row[0], mx = row[0];
+    for (long i = 1; i < nx; ++i) {
+        const float v = row[i];
+        mn = v < mn ? v : mn;
+        mx = v > mx ? v : mx;
+    }
+    const float rng = mx - mn;
+    // clamp the denominator exactly like the numpy fallback
+    // (15.0/max(rng, 1e-30)): a subnormal range would overflow inv
+    // to inf and feed NaN into rintf at the min voxel
+    const float inv = rng > 0.0f
+        ? static_cast<float>(qmax) / (rng > 1e-30f ? rng : 1e-30f)
+        : 0.0f;
+    *min_out = mn;
+    *scale_out = rng / static_cast<float>(qmax);
+    auto q = [&](long i) {
+        int v = (int)rintf((row[i] - mn) * inv);
+        return v > qmax ? qmax : v;
+    };
+    if (bits == 4) {
+        for (long j = 0; j < nx / 2; ++j)
+            out[j] = (uint8_t)((q(2 * j) << 4) | q(2 * j + 1));
+    } else if (bits == 2) {
+        for (long j = 0; j < nx / 4; ++j)
+            out[j] = (uint8_t)((q(4 * j) << 6) | (q(4 * j + 1) << 4)
+                               | (q(4 * j + 2) << 2) | q(4 * j + 3));
+    } else {  // bits == 3: 8 voxels -> one 24-bit MSB-first word
+        for (long j = 0; j < nx / 8; ++j) {
+            uint32_t w = 0;
+            for (int k = 0; k < 8; ++k)
+                w |= (uint32_t)q(8 * j + k) << (21 - 3 * k);
+            out[3 * j] = (uint8_t)(w >> 16);
+            out[3 * j + 1] = (uint8_t)(w >> 8);
+            out[3 * j + 2] = (uint8_t)w;
+        }
+    }
+}
+
 void bqn_pack_f32(const float* sl, long nrows, long nx, int bits,
                   uint8_t* packed, float* row_scale, float* row_min) {
     const int qmax = (1 << bits) - 1;
     const long row_bytes = nx * bits / 8;
+    #pragma omp parallel for schedule(static)
+    for (long r = 0; r < nrows; ++r)
+        bq_pack_one_row(sl + r * nx, nx, bits, qmax, packed + r * row_bytes,
+                        row_scale + r, row_min + r);
+}
+
+// Row min/max stats only: the occupancy-skipped upload
+// (ops/vesselness._pack_compact_native) needs every row's range to
+// decide keep/skip BEFORE any payload bytes are produced — background
+// rows (80-90% at MRA-like occupancy) then skip the quantize+pack
+// entirely.  Same scan order as bq_pack_one_row, so the derived
+// scale/min sideband is bit-identical to the full pack's.
+void bqn_row_stats_f32(const float* sl, long nrows, long nx,
+                       float* row_min, float* row_max) {
     #pragma omp parallel for schedule(static)
     for (long r = 0; r < nrows; ++r) {
         const float* row = sl + r * nx;
@@ -601,37 +655,24 @@ void bqn_pack_f32(const float* sl, long nrows, long nx, int bits,
             mn = v < mn ? v : mn;
             mx = v > mx ? v : mx;
         }
-        const float rng = mx - mn;
-        // clamp the denominator exactly like the numpy fallback
-        // (15.0/max(rng, 1e-30)): a subnormal range would overflow inv
-        // to inf and feed NaN into rintf at the min voxel
-        const float inv = rng > 0.0f
-            ? static_cast<float>(qmax) / (rng > 1e-30f ? rng : 1e-30f)
-            : 0.0f;
         row_min[r] = mn;
-        row_scale[r] = rng / static_cast<float>(qmax);
-        uint8_t* out = packed + r * row_bytes;
-        auto q = [&](long i) {
-            int v = (int)rintf((row[i] - mn) * inv);
-            return v > qmax ? qmax : v;
-        };
-        if (bits == 4) {
-            for (long j = 0; j < nx / 2; ++j)
-                out[j] = (uint8_t)((q(2 * j) << 4) | q(2 * j + 1));
-        } else if (bits == 2) {
-            for (long j = 0; j < nx / 4; ++j)
-                out[j] = (uint8_t)((q(4 * j) << 6) | (q(4 * j + 1) << 4)
-                                   | (q(4 * j + 2) << 2) | q(4 * j + 3));
-        } else {  // bits == 3: 8 voxels -> one 24-bit MSB-first word
-            for (long j = 0; j < nx / 8; ++j) {
-                uint32_t w = 0;
-                for (int k = 0; k < 8; ++k)
-                    w |= (uint32_t)q(8 * j + k) << (21 - 3 * k);
-                out[3 * j] = (uint8_t)(w >> 16);
-                out[3 * j + 1] = (uint8_t)(w >> 8);
-                out[3 * j + 2] = (uint8_t)w;
-            }
-        }
+        row_max[r] = mx;
+    }
+}
+
+// Quantize+pack ONLY the selected rows (the kept chunks of the
+// occupancy-skipped upload): output row j is input row rows[j], packed
+// exactly as bqn_pack_f32 packs it (identical scan and rounding, so
+// kept rows stay bit-identical to the dense wire).
+void bqn_pack_rows_f32(const float* sl, long nx, int bits,
+                       const int64_t* rows, long k, uint8_t* packed) {
+    const int qmax = (1 << bits) - 1;
+    const long row_bytes = nx * bits / 8;
+    #pragma omp parallel for schedule(static)
+    for (long j = 0; j < k; ++j) {
+        float scale_dump, min_dump;
+        bq_pack_one_row(sl + rows[j] * nx, nx, bits, qmax,
+                        packed + j * row_bytes, &scale_dump, &min_dump);
     }
 }
 

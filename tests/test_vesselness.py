@@ -286,3 +286,93 @@ def test_conv_axis_dispatches_blocked_above_threshold():
     B = V._banded_conv_matrix(tuple(np.asarray(k).tolist()), 400)
     ref = np.asarray(jnp.einsum(V._AXIS_EINSUM[1], jnp.asarray(B), big))
     np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-6)
+
+
+def test_upload_skip_sparse_matches_dense_on_kept_rows():
+    """Occupancy-skipped upload (_upload_slab_bq_sparse): kept row-chunks
+    decode bit-identically to the dense bq path; rows in skipped chunks
+    decode to their row midpoint."""
+    import jax.numpy as jnp
+
+    from arterynetwork_tpu.ops.native import bq_pack_native
+    from arterynetwork_tpu.ops import vesselness as V
+
+    rng = np.random.default_rng(17)
+    # background noise rows (range ~12) + a few bright vessel rows
+    sl = rng.normal(100.0, 2.0, (8, 24, 64)).astype(np.float32)
+    sl[3, 5, 20:30] += 120.0
+    sl[6, 17, :10] += 120.0
+    for bits in (4, 3, 2):
+        packed, rsc, rmn = bq_pack_native(sl, bits)
+        sp = V._compact_bq_slab(packed, rsc, rmn, bits)
+        assert sp is not None, "skip should engage on this slab"
+        pay, idx, rsc2, rmn2, nch = sp
+        # it actually skipped most chunks
+        n_kept = int((idx < nch).sum())
+        assert n_kept < nch // 2
+        volp = jnp.zeros_like(jnp.asarray(sl))
+        out = np.asarray(V._upload_slab_bq_sparse(
+            volp, jnp.asarray(pay), jnp.asarray(idx), jnp.asarray(rsc2),
+            jnp.asarray(rmn2), 0, bits=bits, cs=V._SKIP_CHUNK_ROWS,
+            n_chunks=nch, rows=8, ny=24))
+        dense_up = {4: V._upload_slab_bq4, 3: V._upload_slab_bq3,
+                    2: V._upload_slab_bq2}[bits]
+        dense = np.asarray(dense_up(jnp.zeros_like(jnp.asarray(sl)),
+                                    jnp.asarray(packed), jnp.asarray(rsc),
+                                    jnp.asarray(rmn), 0))
+        R = 8 * 24
+        cs = V._SKIP_CHUNK_ROWS
+        keep_chunk = np.zeros(nch, bool)
+        keep_chunk[idx[idx < nch]] = True
+        keep_rows = np.repeat(keep_chunk, cs)[:R].reshape(8, 24)
+        np.testing.assert_array_equal(out[keep_rows], dense[keep_rows])
+        qmax = float((1 << bits) - 1)
+        mid = (rmn + 0.5 * rsc * qmax)[..., None] * np.ones_like(sl)
+        np.testing.assert_allclose(out[~keep_rows], mid[~keep_rows],
+                                   rtol=1e-6)
+
+
+def test_streamed_skip_background_neutral_on_vessels():
+    """skip_background=True leaves the vesselness response unchanged on
+    and around the vessel (its rows are kept bit-exactly) and keeps the
+    background response negligible."""
+    from arterynetwork_tpu.ops.vesselness import frangi_vesselness_streamed
+
+    rng = np.random.default_rng(23)
+    raw = rng.normal(100.0, 2.0, (40, 48, 64)).astype(np.float32)
+    raw[18:22, 20:24, :] += 120.0
+    v0, _, _ = frangi_vesselness_streamed(raw, sigmas=(1.0, 2.0),
+                                          chunk_z=16, bits=4)
+    v1, _, _ = frangi_vesselness_streamed(raw, sigmas=(1.0, 2.0),
+                                          chunk_z=16, bits=4,
+                                          skip_background=True)
+    a, b = np.asarray(v0), np.asarray(v1)
+    # vessel rows (and everything in their kept chunks) are bit-exact on
+    # the wire, so the response only moves where the smoothing mixes in
+    # flattened background — a small perturbation everywhere (the
+    # fixture's noise-floor response, ~0.24 here, is identical in both)
+    assert a[16:24, 16:28, :].max() > 0.2
+    np.testing.assert_allclose(b, a, atol=0.03)
+    # and the skip actually engaged on the vessel slab (fields differ)
+    assert not np.array_equal(a, b)
+
+
+def test_pack_compact_native_matches_post_pack_compact():
+    """The stats-then-pack-selected native path produces the identical
+    (payload, idx, sideband) tuple as packing everything then
+    compacting (same scan, same rounding, same keep decision)."""
+    from arterynetwork_tpu.ops.native import bq_pack_native
+    from arterynetwork_tpu.ops import vesselness as V
+
+    rng = np.random.default_rng(29)
+    sl = rng.normal(100.0, 2.0, (8, 24, 64)).astype(np.float32)
+    sl[3, 5, 20:30] += 120.0
+    sl[6, 17, :10] += 120.0
+    for bits in (4, 3, 2):
+        packed, rsc, rmn = bq_pack_native(sl, bits)
+        ref = V._compact_bq_slab(packed, rsc, rmn, bits)
+        fast = V._pack_compact_native(sl, bits)
+        assert ref is not None and fast is not None
+        for a, b, name in zip(fast, ref,
+                              ("pay", "idx", "rsc", "rmn", "nch")):
+            np.testing.assert_array_equal(a, b, err_msg=name)
