@@ -289,16 +289,17 @@ def generate_vessel_mask(vesselness, brain_mask=None,
             weak_d = _tip_extended_weak(
                 v, weak_d, cfg.tip_fraction, int(cfg.tip_iters),
                 int(cfg.tip_neighbor_max), margin)
-        from .utils.transfer import sparse_mask_to_host_packed
+        from .utils.transfer import sparse_masks_to_host_packed
 
         # both masks cross as occupied 8x8x16-voxel blocks only (the
         # weak mask is ~7% block-occupied: ~8-10x less wire than the
-        # dense packed download); the packed bytes feed the native
-        # selection directly (one LUT unpack in C++ into a reused
-        # full-frame scratch — no host-side unpack/copy chain)
+        # dense packed download), batched so the pair costs two tunnel
+        # roundtrips instead of four (~25 ms latency each); the packed
+        # bytes feed the native selection directly (one LUT unpack in
+        # C++ into a reused full-frame scratch — no host-side
+        # unpack/copy chain)
         t0 = time.perf_counter()
-        wp = sparse_mask_to_host_packed(weak_d)
-        sp = sparse_mask_to_host_packed(strong_ds)
+        wp, sp = sparse_masks_to_host_packed([weak_d, strong_ds])
         if timings is not None:  # threshold compute + packed-mask wire
             timings.add("segmentation_download", time.perf_counter() - t0)
         t0 = time.perf_counter()

@@ -74,37 +74,16 @@ def _extract_blocks(blocks, idx):
 _SPARSE_SCRATCH = {}
 
 
-def sparse_mask_to_host_packed(mask_device, block=(8, 8, 2),
-                               max_occupancy=0.5) -> np.ndarray:
-    """bool device array -> flat packed-bit uint8 host array (np.packbits
-    order), moving only the occupied blocks over the wire.
-
-    Vessel masks are block-sparse (~7% of 8x8x16-voxel blocks occupied at
-    typical weak-mask densities), so downloading a per-block occupancy
-    bitmap (1 bit/block) plus the occupied 128-byte block payloads cuts
-    the mask wire ~8-10x vs the dense packed download.  Extraction is a
-    scan of dynamic slices (no gather).  Falls back to the dense path
-    when X % 8 != 0 or measured occupancy exceeds ``max_occupancy``.
-    Payload slots are bucketed to powers of two to bound recompiles.
-    """
-    Z, Y, X = mask_device.shape
-    if X % 8:
-        return np.asarray(pack_mask(mask_device))
+def _sparse_reassemble(idx, payload, shape, block):
+    """Scatter occupied block payloads back into the dense packed-byte
+    volume on the host (cheap: few MB of memcpy through a reused
+    scratch) and return the flat packed-bit array."""
+    Z, Y, X = shape
     bz, by, bxb = block
-    blocks, occp = _pack_blockify(mask_device, bz, by, bxb)
-    Nb, B = blocks.shape
-    occ = np.unpackbits(np.asarray(occp))[:Nb] != 0
-    idx = np.flatnonzero(occ)
-    if idx.size > max_occupancy * Nb:
-        return np.asarray(pack_mask(mask_device))
-    cap = 1 << max(9, int(np.ceil(np.log2(max(idx.size, 1)))))
-    cap = min(cap, Nb)
-    idxp = np.zeros(cap, np.int32)
-    idxp[:idx.size] = idx
-    payload = np.asarray(_extract_blocks(blocks, jnp.asarray(idxp)))
-
     XB = X // 8
     Zb, Yb, Xb = -(-Z // bz), -(-Y // by), -(-XB // bxb)
+    Nb = Zb * Yb * Xb
+    B = bz * by * bxb
     key = (Zb, Yb, Xb, bz, by, bxb)
     buf = _SPARSE_SCRATCH.get(key)
     if buf is None or buf[0].shape[0] != Nb:
@@ -123,6 +102,84 @@ def sparse_mask_to_host_packed(mask_device, block=(8, 8, 2),
         # the next call would overwrite
         out = out.copy()
     return out.reshape(-1)
+
+
+def sparse_masks_to_host_packed(masks, block=(8, 8, 2),
+                                max_occupancy=0.5):
+    """Batched ``sparse_mask_to_host_packed``: ONE occupancy roundtrip
+    and ONE payload roundtrip for all masks.
+
+    Every device->host sync on the tunneled backend costs ~25 ms of
+    latency on top of the bytes; the weak+strong mask pair of the
+    segmentation stage pays it twice instead of four times by
+    concatenating the occupancy bitmaps (and then the payloads) into a
+    single download each.  Per-mask results are identical to the
+    single-mask calls.
+    """
+    bz, by, bxb = block
+    staged = []
+    occ_parts = []
+    for m in masks:
+        Z, Y, X = m.shape
+        if X % 8:
+            staged.append(None)  # dense fallback, resolved below
+            continue
+        blocks, occp = _pack_blockify(m, bz, by, bxb)
+        staged.append((blocks, int(np.prod(occp.shape))))
+        occ_parts.append(occp)
+    occ_all = (np.asarray(jnp.concatenate(occ_parts))
+               if occ_parts else np.zeros(0, np.uint8))  # sync 1
+    pos = 0
+    plans = []
+    payload_parts = []
+    for m, st in zip(masks, staged):
+        if st is None:
+            plans.append(("dense", pack_mask(m)))
+            continue
+        blocks, occ_len = st
+        Nb = blocks.shape[0]
+        occ = np.unpackbits(occ_all[pos:pos + occ_len])[:Nb] != 0
+        pos += occ_len
+        idx = np.flatnonzero(occ)
+        if idx.size > max_occupancy * Nb:
+            plans.append(("dense", pack_mask(m)))
+            continue
+        cap = 1 << max(9, int(np.ceil(np.log2(max(idx.size, 1)))))
+        cap = min(cap, Nb)
+        idxp = np.zeros(cap, np.int32)
+        idxp[:idx.size] = idx
+        payload_parts.append(_extract_blocks(blocks, jnp.asarray(idxp)))
+        plans.append(("sparse", (idx, cap, m.shape)))
+    payload_all = (np.asarray(jnp.concatenate(payload_parts, axis=0))
+                   if payload_parts else None)  # sync 2
+    pos = 0
+    outs = []
+    for kind, data in plans:
+        if kind == "dense":
+            outs.append(np.asarray(data))
+            continue
+        idx, cap, shape = data
+        payload = payload_all[pos:pos + cap]
+        pos += cap
+        outs.append(_sparse_reassemble(idx, payload, shape, block))
+    return outs
+
+
+def sparse_mask_to_host_packed(mask_device, block=(8, 8, 2),
+                               max_occupancy=0.5) -> np.ndarray:
+    """bool device array -> flat packed-bit uint8 host array (np.packbits
+    order), moving only the occupied blocks over the wire.
+
+    Vessel masks are block-sparse (~7% of 8x8x16-voxel blocks occupied at
+    typical weak-mask densities), so downloading a per-block occupancy
+    bitmap (1 bit/block) plus the occupied 128-byte block payloads cuts
+    the mask wire ~8-10x vs the dense packed download.  Extraction is a
+    scan of dynamic slices (no gather).  Falls back to the dense path
+    when X % 8 != 0 or measured occupancy exceeds ``max_occupancy``.
+    Payload slots are bucketed to powers of two to bound recompiles.
+    """
+    return sparse_masks_to_host_packed([mask_device], block=block,
+                                       max_occupancy=max_occupancy)[0]
 
 
 def f16_to_host(x_device) -> np.ndarray:

@@ -87,3 +87,25 @@ def test_sparse_mask_download_matches_dense():
     rb = sparse_mask_to_host_packed(db)
     np.testing.assert_array_equal(ra, np.asarray(pack_mask(da)))
     np.testing.assert_array_equal(rb, np.asarray(pack_mask(db)))
+
+
+def test_sparse_masks_batched_matches_singles():
+    """sparse_masks_to_host_packed == per-mask calls, including mixed
+    dense fallbacks (X % 8 and high occupancy) in the same batch, and
+    masks of different shapes (the weak + 2x-pooled-strong pair)."""
+    from arterynetwork_tpu.utils.transfer import (
+        pack_mask, sparse_mask_to_host_packed, sparse_masks_to_host_packed)
+
+    rng = np.random.default_rng(5)
+    weak = np.zeros((24, 40, 48), bool)
+    weak[4:8, 10:20, 8:32] = rng.random((4, 10, 24)) > 0.3
+    strong = np.zeros((12, 20, 24), bool)
+    strong[2:4, 5:10, 4:16] = True
+    odd = np.zeros((10, 12, 20), bool)   # X % 8 != 0 -> dense
+    odd[3:5, 4:8, 2:9] = True
+    full = rng.random((12, 9, 16)) > 0.3  # occupancy > cutoff -> dense
+    dmasks = [jnp.asarray(m) for m in (weak, strong, odd, full)]
+    batched = sparse_masks_to_host_packed(dmasks)
+    for dm, got in zip(dmasks, batched):
+        np.testing.assert_array_equal(got, sparse_mask_to_host_packed(dm))
+        np.testing.assert_array_equal(got, np.asarray(pack_mask(dm)))
