@@ -301,3 +301,27 @@ def test_hysteresis_mask_with_brain_boundary_suppression():
     cfg2.segmentation.min_component_size = 10
     mask2 = generate_vessel_mask(v, config=cfg2)
     assert mask2[2:5, 18:22, 10:38].any()
+
+
+def test_full_pipeline_bq4_upload_skip(tmp_path):
+    """The bench wire config (bq4 + occupancy-skipped upload + hysteresis
+    + batched sparse mask download) runs end to end and recovers the
+    phantom: integration cover for the sparse upload/download paths the
+    default u12 config bypasses."""
+    vol = _y_phantom() * 200.0 + 100.0  # MRA-like absolute intensities
+    seed = np.zeros(vol.shape, bool)
+    seed[23:26, 23:26, 18:21] = True
+    cfg = PipelineConfig()
+    cfg.vesselness.upload_format = "bq4"
+    assert cfg.vesselness.upload_skip  # default on
+    cfg.segmentation.max_segment_size = 50000
+    cfg.segmentation.weak_threshold_fraction = 0.03
+    cfg.segmentation.global_threshold_fraction = 0.3
+    cfg.segmentation.min_component_size = 50
+    cfg.skeleton.backend = "native"
+    cfg.skeleton.prune_min_length = 4
+
+    result = run_pipeline(vol, seed_mask=seed, config=cfg)
+    assert result["mask"].sum() > 500
+    assert len(result["segments"]) >= 3
+    assert np.isfinite(np.asarray(result["solution"].pressure)).all()
