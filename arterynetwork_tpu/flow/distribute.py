@@ -40,12 +40,22 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..constants import HW_COEFF, HW_DIAMETER_EXPONENT
+from ..constants import (HW_COEFF, HW_DIAMETER_EXPONENT, INLET_PRESSURE,
+                         PASCAL_PER_MMHG)
 from ..graphs.network import FlowNetwork
 
 # the reference's desired terminating pressure (fluidSimulation.py:1100)
-DEFAULT_DESIRED_TERMINATING_PRESSURE = 13560.0 * 9.8 * 0.12  # Pa
-_MMHG = 13560.0 * 9.8 / 1000.0  # Pa per mmHg, reference's conversion
+# — the same 13560*9.8*0.12 Pa as the inlet constant
+DEFAULT_DESIRED_TERMINATING_PRESSURE = INLET_PRESSURE
+_MMHG = PASCAL_PER_MMHG
+
+
+def _default_dtype():
+    """f32 on the TPU backend (this device has no working f64 — LU
+    errors, general f64 compute faults it; CLAUDE.md), f64 elsewhere
+    (the CPU test mesh keeps the high-precision oracle path)."""
+    return (jnp.float32 if jax.default_backend() == "tpu"
+            else jnp.float64)
 
 
 class DistributeSystem(NamedTuple):
@@ -83,19 +93,36 @@ def build_distribute_system(
     inlet_flow: float,
     inlet_pressure: float,
     desired_terminating_pressure=None,
-    dtype=jnp.float64,
+    dtype=None,
 ) -> DistributeSystem:
     """Assemble the padded level tables from a ``FlowNetwork``.
 
     Mirrors ``setupEquationsForDistributeFlow`` (fluidSimulation.py:1053):
     edges sorted by depth, merge nodes = nodes with >1 lower-depth
     neighbor, desired terminating pressure defaulting to the reference's
-    hard-coded value at every degree-1 non-entry node.
+    hard-coded value at every degree-1 non-entry node.  ``dtype=None``
+    picks f32 on TPU (no f64 there) and f64 elsewhere.
     """
+    if dtype is None:
+        dtype = _default_dtype()
     heads = np.asarray(net.heads, dtype=np.int64)
     tails = np.asarray(net.tails, dtype=np.int64)
     depth = np.asarray(net.node_depth, dtype=np.int64)
     E = heads.shape[0]
+
+    # the level-synchronous scan finalizes a node's pressure before its
+    # out-edges run, which requires every edge to strictly descend the
+    # depth field — the same precondition as the reference's depth
+    # sweep.  A cross edge (equal depths, e.g. from a skeleton loop)
+    # would read its tail's inflow mid-level and silently misroute flow,
+    # so reject it loudly instead.
+    if E and not (depth[heads] < depth[tails]).all():
+        bad = int((depth[heads] >= depth[tails]).sum())
+        raise ValueError(
+            f"distribute_flow needs a depth-acyclic network: {bad} "
+            "edge(s) do not strictly descend the depth field (loopy "
+            "skeletons are out of this solver's scope, as they are for "
+            "the reference's depth sweep — use flow.solvers on those)")
 
     level_of_edge = depth[heads]
     n_levels = int(level_of_edge.max()) + 1 if E else 1
@@ -304,7 +331,7 @@ def distribute_flow_study(
     inlet_pressure: Optional[float] = None,
     desired_terminating_pressure=None,
     max_iter: int = 40,
-    dtype=jnp.float64,
+    dtype=None,
 ) -> dict:
     """The ``distributeFlowTest`` entry point (fluidSimulation.py:2758).
 

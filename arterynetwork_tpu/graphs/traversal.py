@@ -92,12 +92,17 @@ def random_walk_bfs2(G: nx.Graph, initial_voxels, boundary_voxels):
     when entering a bifurcation (degree >= 3) or segment end
     (degree == 1).  Returns ``(G, visited_voxels, segment_index_list)``
     with the same tuple contract as ``partition_bfs``.
+
+    Multiplicity matches the reference: there is NO visited-set dedupe —
+    a voxel reachable from several qualifying parents is appended (and
+    its entering segment index recorded) once per parent edge, exactly
+    as myFunctions.py:136-146 does.  Termination still holds because
+    ``depthVoxel`` strictly increases along every walk.
     """
     initial = [tuple(v) for v in initial_voxels]
     boundary = set(tuple(v) for v in boundary_voxels)
 
     visited: List[Tuple] = list(initial)
-    seen = set(initial)
     pool = list(initial)
     segment_indices: List[int] = []
     while pool:
@@ -107,11 +112,10 @@ def random_walk_bfs2(G: nx.Graph, initial_voxels, boundary_voxels):
                 continue
             cur_depth = G.nodes[cur]["depthVoxel"]
             for v in G.neighbors(cur):
-                if (v in boundary or v in seen
+                if (v in boundary
                         or "depthVoxel" not in G.nodes[v]
                         or G.nodes[v]["depthVoxel"] <= cur_depth):
                     continue
-                seen.add(v)
                 deg = G.degree(v)
                 if deg >= 3 or deg == 1:
                     seg = G[cur][v].get("segmentIndex")

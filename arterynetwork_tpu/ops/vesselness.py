@@ -666,6 +666,22 @@ _SKIP_BG_FRACTION = 0.25
 _SKIP_CHUNK_ROWS = 8
 
 
+def _skip_threshold(rmn, rng):
+    """Keep/skip threshold from a ROBUST slab range.
+
+    The slab top is the 99.5th percentile of row maxima, not the max:
+    an isolated hyperintense artifact row (motion/metal/skull flash,
+    rare by definition) must not inflate the range and reclassify real
+    vessel rows as background.  Vessel rows are 8-17% of rows at MRA
+    occupancies, far above the 0.5% clip, so their maxima still set the
+    top; if vessels ever occupy <0.5% of rows the threshold collapses
+    toward the noise range and the >50%-kept dense fallback engages —
+    failing safe (no wire saving) rather than losing vessels."""
+    smax = float(np.percentile(rmn + rng, 99.5))
+    smin = float(rmn.min())
+    return _SKIP_BG_FRACTION * (smax - smin)
+
+
 def _pack_compact_native(slf, bits):
     """Stats-then-pack-selected host path for the occupancy-skipped
     upload: one native row min/max scan decides keep/skip, then only the
@@ -688,9 +704,7 @@ def _pack_compact_native(slf, bits):
     # sees the pack's rsc sideband) bit for bit
     rsc_all = ((rmx - rmn) / qmax).astype(np.float32)
     rng = rsc_all * qmax
-    smax = float((rmn + rng).max())
-    smin = float(rmn.min())
-    thr = _SKIP_BG_FRACTION * (smax - smin)
+    thr = _skip_threshold(rmn, rng)
     if thr <= 0:
         return None
     nch = R // cs
@@ -724,9 +738,7 @@ def _compact_bq_slab(packed, rsc, rmn, bits):
     scale 0 / min = midpoint."""
     qmax = float((1 << bits) - 1)
     rng = rsc * qmax
-    smax = float((rmn + rng).max())
-    smin = float(rmn.min())
-    thr = _SKIP_BG_FRACTION * (smax - smin)
+    thr = _skip_threshold(rmn, rng)
     if thr <= 0:
         return None
     rows, ny, nxp = packed.shape

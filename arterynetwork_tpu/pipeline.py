@@ -146,7 +146,8 @@ def _any_pool2(m):
 
 
 @_functools.partial(_jax.jit, static_argnames=("iters", "nbr_max", "margin"))
-def _tip_extended_weak(v, weak, tip_frac, iters, nbr_max, margin=0):
+def _tip_extended_weak(v, weak, vmin, rng, tip_frac, iters, nbr_max,
+                       margin=0, exclude=None):
     """Axial tip extension of the weak mask (thin-tip recall recovery).
 
     The hysteresis weak floor loses the last voxels of radius-1..2
@@ -161,12 +162,18 @@ def _tip_extended_weak(v, weak, tip_frac, iters, nbr_max, margin=0):
     halo voxel alongside the tube touches more.  ``iters`` bounds the
     extension length.  Runs before component selection, so noise-only
     growth stays unselected (no extra wire, no host round trip).
+
+    ``vmin``/``rng`` come from the caller (already computed for the
+    thresholds — no second pair of full-volume reductions); ``exclude``
+    masks candidates out entirely (the brain path's near-boundary
+    suppression must also bind the tip floor, or the extension would
+    re-admit exactly the low-response boundary voxels it removed).
     """
     from .ops.stencil import neighbor_count26
 
-    vmin = _jnp.min(v)
-    rng = _jnp.max(v) - vmin
     tip = v > vmin + tip_frac * rng
+    if exclude is not None:
+        tip = tip & ~exclude
     if margin:
         tip = tip & _border_core(v.shape, margin)
     m = weak
@@ -177,10 +184,8 @@ def _tip_extended_weak(v, weak, tip_frac, iters, nbr_max, margin=0):
 
 
 @_functools.partial(_jax.jit, static_argnames=("margin",))
-def _threshold_hysteresis(v, weak_frac, strong_frac, margin=0):
+def _threshold_hysteresis(v, vmin, rng, weak_frac, strong_frac, margin=0):
     """(weak mask, 2x-pooled strong mask) for hysteresis selection."""
-    vmin = _jnp.min(v)
-    rng = _jnp.max(v) - vmin
     weak = v > vmin + weak_frac * rng
     strong = v > vmin + strong_frac * rng
     if margin:
@@ -191,10 +196,11 @@ def _threshold_hysteresis(v, weak_frac, strong_frac, margin=0):
 
 
 @_functools.partial(_jax.jit, static_argnames=("boundary_dist", "margin"))
-def _threshold_hysteresis_brain(v, brain, weak_frac, strong_frac,
-                                near_frac, boundary_dist, margin=0):
-    vmin = _jnp.min(v)
-    rng = _jnp.max(v) - vmin
+def _threshold_hysteresis_brain(v, brain, vmin, rng, weak_frac,
+                                strong_frac, near_frac, boundary_dist,
+                                margin=0):
+    """Brain variant; also returns the near-boundary suppression mask so
+    downstream growth (tip extension) honors it."""
     dist = edt(brain != 0, band=int(boundary_dist) + 2)
     near = ((v <= vmin + near_frac * rng) & (dist <= boundary_dist))
     weak = (v > vmin + weak_frac * rng) & ~near
@@ -203,7 +209,7 @@ def _threshold_hysteresis_brain(v, brain, weak_frac, strong_frac,
         core = _border_core(v.shape, margin)
         weak = weak & core
         strong = strong & core
-    return weak, _any_pool2(strong)
+    return weak, _any_pool2(strong), near
 
 
 def vesselness_stage(raw_volume, config: Optional[PipelineConfig] = None,
@@ -275,20 +281,24 @@ def generate_vessel_mask(vesselness, brain_mask=None,
                 "weak_threshold_fraction must be <= "
                 "global_threshold_fraction (strong mask must be a "
                 "subset of the weak mask for hysteresis selection)")
+        vmin = jnp.min(v)
+        rng = jnp.max(v) - vmin
+        near = None
         if brain_mask is not None:
             brain = jnp.asarray(np.asarray(brain_mask))
-            weak_d, strong_ds = _threshold_hysteresis_brain(
-                v, brain, cfg.weak_threshold_fraction,
+            weak_d, strong_ds, near = _threshold_hysteresis_brain(
+                v, brain, vmin, rng, cfg.weak_threshold_fraction,
                 cfg.global_threshold_fraction, cfg.near_boundary_fraction,
                 int(cfg.boundary_distance_voxels), margin)
         else:
             weak_d, strong_ds = _threshold_hysteresis(
-                v, cfg.weak_threshold_fraction,
+                v, vmin, rng, cfg.weak_threshold_fraction,
                 cfg.global_threshold_fraction, margin)
         if cfg.tip_fraction is not None:
             weak_d = _tip_extended_weak(
-                v, weak_d, cfg.tip_fraction, int(cfg.tip_iters),
-                int(cfg.tip_neighbor_max), margin)
+                v, weak_d, vmin, rng, cfg.tip_fraction,
+                int(cfg.tip_iters), int(cfg.tip_neighbor_max), margin,
+                exclude=near)
         from .utils.transfer import sparse_masks_to_host_packed
 
         # both masks cross as occupied 8x8x16-voxel blocks only (the

@@ -129,11 +129,18 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--role", default="parent")
     ap.add_argument("--process-id", type=int, default=0)
-    ap.add_argument("--port", type=int, default=12731)
+    ap.add_argument("--port", type=int, default=0)  # 0 = pick a free one
     args = ap.parse_args()
     if args.role == "child":
         child(args.process_id, 2, args.port)
     else:
+        if args.port == 0:
+            # OS-assigned free port: a hardcoded default collides with
+            # concurrent runs or leaked children of an aborted one
+            import socket
+            with socket.socket() as s:
+                s.bind(("127.0.0.1", 0))
+                args.port = s.getsockname()[1]
         sys.exit(parent(args.port))
 
 

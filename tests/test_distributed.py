@@ -10,16 +10,25 @@ collectives through the distributed runtime).
 
 import json
 import os
+import socket
 import subprocess
 import sys
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
+def _free_port() -> int:
+    """OS-assigned free port (a hardcoded one collides with concurrent
+    runs or leaked children from an aborted previous run)."""
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        return s.getsockname()[1]
+
+
 def test_two_process_dp_solve():
     out = subprocess.run(
         [sys.executable, os.path.join(REPO, "scripts", "dcn_smoke.py"),
-         "--port", "12757"],
+         "--port", str(_free_port())],
         capture_output=True, text=True, timeout=420)
     lines = [l for l in out.stdout.splitlines() if l.startswith("{")]
     assert lines, (out.stdout[-500:], out.stderr[-500:])

@@ -107,6 +107,28 @@ def test_random_walk_bfs2_replays_without_mutating():
     assert len(visited_b) < len(visited)
 
 
+def test_random_walk_bfs2_duplicate_multiplicity_on_diamond():
+    """Reference parity (myFunctions.py:136-146): a voxel reachable from
+    two same-depth parents is appended once per entering edge — there is
+    no visited-set dedupe in randomWalkBFS2."""
+    import networkx as nx
+
+    from arterynetwork_tpu.graphs.traversal import random_walk_bfs2
+
+    G = nx.Graph()
+    a, b, c, d = (0, 0, 0), (1, 0, 0), (0, 1, 0), (1, 1, 0)
+    for u, v, s in [(a, b, 0), (a, c, 1), (b, d, 2), (c, d, 3)]:
+        G.add_edge(u, v, segmentIndex=s)
+    depths = {a: 0, b: 1, c: 1, d: 2}
+    for n, dep in depths.items():
+        G.nodes[n]["depthVoxel"] = dep
+
+    _, visited, seg_ids = random_walk_bfs2(G, [a], [])
+    # d enters via b AND via c: appended twice
+    assert visited.count(d) == 2
+    assert len(visited) == 5
+
+
 def test_reduce_graph():
     segments = _y_segments()
     G = _graph_from_segments(segments)
