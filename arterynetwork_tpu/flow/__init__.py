@@ -24,6 +24,7 @@ from .studies import (
     flow_proportions_per_partition,
     flow_split_study,
     gbm_test4,
+    gbm_test5b,
     same_flow_study,
     save_gbm_test5_results,
     tp_fit_solve_study,
@@ -67,6 +68,7 @@ __all__ = [
     "flow_proportions_per_partition",
     "flow_split_study",
     "gbm_test4",
+    "gbm_test5b",
     "same_flow_study",
     "save_gbm_test5_results",
     "tp_fit_solve_study",

@@ -1,7 +1,7 @@
 """Longitudinal flow-split / terminating-pressure studies — the
 reference's test1-test6 drivers (fluidSimulation.py:3133-3837) plus
-GBMTest4 (:2058-2148) and the GBMTest5 per-timestep result persistence
-(:2283-2291).  These are the scientific payload of the paper: how flows,
+GBMTest4 (:2058-2148), the GBMTest5 per-timestep result persistence
+(:2283-2291) and the GBMTest5b volume/pressure-drop diagnostic (:2303).  These are the scientific payload of the paper: how flows,
 terminating pressures and root pressures evolve as vessel radii
 interpolate between two imaging timepoints.
 
@@ -30,10 +30,12 @@ from .adan import ADANModel
 from .boundary import (COW_PARTITIONS, bfs_partition,
                        fit_terminating_pressure_to_path_length,
                        set_terminating_pressure,
-                       terminating_nodes_of_partition)
+                       terminating_nodes_of_partition,
+                       volume_per_partition)
 from .experiments import apply_flow_to_network, update_edge_radius
 from .ground_truth import create_ground_truth
-from .perturb import interpolate_radii, perturb_radius_per_partition
+from .perturb import (interpolate_radii, perturb_radius_from_timepoint,
+                      perturb_radius_per_partition)
 from .residual import pack_velocity_pressure, validate_equations
 from .solvers import solve_pressure_newton
 from .system import build_system
@@ -312,6 +314,60 @@ def gbm_test4(net: FlowNetwork,
                             "pressure": result["pressure"],
                             "flow": result["flow"]}})
     return result
+
+
+def gbm_test5b(net: FlowNetwork, radius_end,
+               num_timesteps: int = 4,
+               interpolation_option: int = 1,
+               excluded_edges: Sequence[int] = (0, 1, 2, 3, 7),
+               partitions: Optional[Dict[str, dict]] = None,
+               rng: Optional[np.random.Generator] = None) -> Dict:
+    """GBMTest5b (fluidSimulation.py:2303-2388): the diagnostic
+    load-variant of GBMTest5.  Take the far-end radii from the second
+    imaging timepoint (perturbNetwork option 2, keeping the excluded
+    large inlet edges at their baseline radii), interpolate per-edge
+    radii across timesteps, and per timestep report each compartment's
+    relative volume change against the baseline — negated, this is the
+    per-partition terminating-pressure-drop adjustment GBMTest5 feeds to
+    ``perturb_terminating_pressure`` (pressureDropChangePerPartition =
+    -(V_t - V_0)/V_0).  No network solve runs; the reference's loop
+    stops at printing the adjustments, and this returns them.
+
+    Also fits terminating pressure vs path length on the baseline ground
+    truth (the reference computes fitResultPerPartition before the loop;
+    NaN slopes if the depth-sweep fails on this topology)."""
+    if rng is None:
+        rng = np.random.default_rng(0)
+    if partitions is None:
+        partitions = COW_PARTITIONS
+    volume0 = volume_per_partition(net, partitions)
+    net_end = perturb_radius_from_timepoint(net, np.asarray(radius_end, float),
+                                            excluded_edges)
+    radii = radius_timesteps(net, net_end.radius, num_timesteps,
+                             interpolation_option)
+    gt0 = create_ground_truth(net, option=2,
+                              rng=np.random.default_rng(rng.integers(2**31)))
+    fit = (fit_terminating_pressure_to_path_length(net, gt0.pressure,
+                                                   partitions)
+           if gt0.success else None)
+    volume_t: List[Dict[str, float]] = []
+    drop_change: List[Dict[str, float]] = []
+    for t in range(num_timesteps):
+        net_t = net.replace(radius=radii[t])
+        vols = volume_per_partition(net_t, partitions)
+        volume_t.append(vols)
+        drop_change.append({
+            name: -((vols[name] - volume0[name]) / volume0[name])
+            if volume0[name] > 0 else 0.0
+            for name in vols})
+    return {
+        "success": True,
+        "radii": radii,
+        "volume_per_partition_baseline": volume0,
+        "volume_per_partition": volume_t,
+        "pressure_drop_change_per_partition": drop_change,
+        "fit_per_partition": fit,
+    }
 
 
 def save_gbm_test5_results(store, net: FlowNetwork, batch, solution,

@@ -146,6 +146,33 @@ def test_gbm_test4(net, tmp_path):
                         "perturbNetworkOption=1).pkl")
 
 
+def test_gbm_test5b_volume_diagnostic(net):
+    from arterynetwork_tpu.flow import gbm_test5b
+
+    T = 4
+    excluded = (0, 1)
+    out = gbm_test5b(net, _radius_end(net), num_timesteps=T,
+                     excluded_edges=excluded, partitions=PARTS)
+    assert out["success"]
+    assert out["radii"].shape == (T, net.num_edges)
+    # excluded inlet edges keep the baseline radius at every timestep
+    for e in excluded:
+        np.testing.assert_allclose(out["radii"][:, e], net.radius[e])
+    assert len(out["volume_per_partition"]) == T
+    # timestep 0 == baseline -> zero adjustment everywhere
+    for v in out["pressure_drop_change_per_partition"][0].values():
+        assert v == pytest.approx(0.0)
+    # LMCA subtree shrank 15% in radius -> volume drops -> the
+    # pressure-drop adjustment is positive and grows monotonically
+    lmca = [d["LMCA"] for d in out["pressure_drop_change_per_partition"]]
+    assert lmca[-1] > 0.1
+    assert all(b >= a - 1e-12 for a, b in zip(lmca, lmca[1:]))
+    # hand-check the last timestep against Sum(pi r^2 L)
+    v0 = out["volume_per_partition_baseline"]["LMCA"]
+    vT = out["volume_per_partition"][-1]["LMCA"]
+    assert lmca[-1] == pytest.approx(-(vT - v0) / v0)
+
+
 def test_gbm_test5_save_contract(net, tmp_path):
     import jax.numpy as jnp
 
