@@ -133,6 +133,14 @@ def _cmd_study(args):
                                     num_timesteps=args.timesteps,
                                     partitions=partitions,
                                     out_dir=args.out)
+    elif args.name == "gbm5b":
+        from .flow import gbm_test5b
+        out = gbm_test5b(net, radius_end, excluded_edges=(), **common)
+    elif args.name == "distribute":
+        from .flow import distribute_flow_study
+        out = distribute_flow_study(net)
+        out = {k: v for k, v in out.items()
+               if k not in ("result", "system")}
     else:
         raise SystemExit(f"unknown study {args.name}")
 
@@ -380,7 +388,7 @@ def main(argv=None):
                         "(test1-6 / GBMTest4/5 drivers)")
     ps.add_argument("name", choices=("flow_split", "same_flow",
                                      "two_timepoint", "tp_fit", "gbm4",
-                                     "gbm5"))
+                                     "gbm5", "gbm5b", "distribute"))
     ps.add_argument("--out", required=True)
     ps.add_argument("--timesteps", type=int, default=4)
     ps.add_argument("--interpolation", type=int, default=1,

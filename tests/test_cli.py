@@ -67,6 +67,24 @@ def test_cli_study_gbm5(tmp_path, capsys):
     assert (tmp_path / "gbm5_network_t0.png").exists()
 
 
+def test_cli_study_gbm5b(tmp_path, capsys):
+    from arterynetwork_tpu.__main__ import main
+    main(["study", "gbm5b", "--out", str(tmp_path),
+          "--timesteps", "3", "--depth", "5"])
+    out = json.loads(capsys.readouterr().out)
+    assert out["success"]
+    assert len(out["pressure_drop_change_per_partition"]) == 3
+    # the shrunk compartment (P0) gets a positive adjustment by the end
+    assert out["pressure_drop_change_per_partition"][-1]["P0"] > 0
+
+
+def test_cli_study_distribute(tmp_path, capsys):
+    from arterynetwork_tpu.__main__ import main
+    main(["study", "distribute", "--out", str(tmp_path), "--depth", "5"])
+    out = json.loads(capsys.readouterr().out)
+    assert "fractions" in out and "terminal_pressure_mmhg" in out
+
+
 def test_cli_morpho(tmp_path, capsys):
     """morpho subcommand = graphRelated __main__ driver: builds the info
     bundle from pipeline artifacts, runs statistics + the figure suite."""
