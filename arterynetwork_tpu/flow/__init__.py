@@ -1,5 +1,6 @@
 from .ground_truth import GroundTruthResult, create_ground_truth
 from .physics import (
+    darcy_weisbach_ck,
     dp_from_flow,
     edge_admittance,
     flow_from_dp,
@@ -15,6 +16,7 @@ from .network_setup import (
     BRAVA_FIT_PARAMS,
     COW_BRANCH_ADJUSTMENTS,
     adjust_network,
+    apply_darcy_weisbach,
     convert_network,
     edge_partition_names,
     load_network,
@@ -42,6 +44,7 @@ from .distribute import (
 __all__ = [
     "GroundTruthResult",
     "create_ground_truth",
+    "darcy_weisbach_ck",
     "dp_from_flow",
     "edge_admittance",
     "flow_from_dp",
@@ -61,6 +64,7 @@ __all__ = [
     "BRAVA_FIT_PARAMS",
     "COW_BRANCH_ADJUSTMENTS",
     "adjust_network",
+    "apply_darcy_weisbach",
     "convert_network",
     "edge_partition_names",
     "load_network",

@@ -136,6 +136,31 @@ def set_network(net: FlowNetwork,
     return net.replace(c=c, k=k)
 
 
+def apply_darcy_weisbach(net: FlowNetwork,
+                         nu: Optional[float] = None,
+                         rho: Optional[float] = None) -> FlowNetwork:
+    """Set the network's per-edge (c, k) to the laminar Darcy-Weisbach law.
+
+    Finishes the reference's ``method='DW'`` equation branch
+    (fluidSimulation.py:4692-4693, an empty ``pass``) at the network
+    level: with the laminar friction factor its comment prescribes
+    (``f = 64/Re``, fluidSimulation.py:4644-4645) the D-W head loss is
+    Hagen-Poiseuille, which the equation stack already expresses as the
+    k=1 Hazen-Williams law — see ``physics.darcy_weisbach_ck``.  All
+    solvers, ground-truth generation, studies and audits work on the
+    returned network unchanged.
+    """
+    from .physics import darcy_weisbach_ck
+
+    kwargs = {}
+    if nu is not None:
+        kwargs["nu"] = nu
+    if rho is not None:
+        kwargs["rho"] = rho
+    c, k = darcy_weisbach_ck(net.radius_m(), **kwargs)
+    return net.replace(c=np.asarray(c), k=np.asarray(k))
+
+
 def load_network(directory: str, version: int = 4, year="BraVa") -> dict:
     """Load the reference's legacy artifact bundle (``loadNetwork``,
     fluidSimulation.py:161-192): the basicFilesForStructureWithCoW pickle

@@ -15,7 +15,12 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
-from ..constants import HW_COEFF, HW_DIAMETER_EXPONENT
+from ..constants import (
+    BLOOD_KINEMATIC_VISCOSITY,
+    HW_COEFF,
+    HW_DIAMETER_EXPONENT,
+    RHO_BLOOD,
+)
 
 
 def edge_admittance(radius_m, length_m, c, k):
@@ -62,6 +67,26 @@ def poiseuille_equivalent_c(radius_m, mu=3.5e-3):
     """
     d = 2.0 * radius_m
     return HW_COEFF * jnp.pi / (128.0 * mu) * d ** (4.0 - HW_DIAMETER_EXPONENT)
+
+
+def darcy_weisbach_ck(radius_m, nu=BLOOD_KINEMATIC_VISCOSITY, rho=RHO_BLOOD):
+    """Per-edge ``(c, k)`` completing the reference's ``method='DW'`` slot.
+
+    ``computeNetworkDetail`` declares a Darcy-Weisbach option with laminar
+    friction ``f = 64/Re = 64*nu/(v*D)`` and blood constants
+    (fluidSimulation.py:4640-4645) but leaves the branch an empty ``pass``
+    (fluidSimulation.py:4692-4693).  For laminar ``f`` the D-W head loss
+
+        dP = f * (L/D) * (rho * v**2 / 2) = 32 rho nu L v / D**2
+           = 128 mu L Q / (pi D**4),        mu = rho * nu
+
+    is exactly Hagen-Poiseuille, i.e. the k=1 Hazen-Williams law with
+    ``c = poiseuille_equivalent_c(radius_m, mu=rho*nu)``.  Expressing it as
+    per-edge (c, k) makes every downstream consumer — assembly, solvers,
+    ground truth, studies, audits — handle DW networks unchanged.
+    """
+    c = poiseuille_equivalent_c(radius_m, mu=rho * nu)
+    return c, jnp.ones_like(c)
 
 
 def velocity_from_flow(flow, radius_m):

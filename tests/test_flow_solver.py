@@ -232,3 +232,55 @@ def test_tree_plan_core_is_small():
     n_loops = net.num_edges - (net.num_nodes - 1)
     # core nodes ~ a few per loop; zero when no merges happened
     assert plan.core_size <= max(4 * n_loops, 0) + 2
+
+
+def test_darcy_weisbach_ck_matches_reference_formula():
+    """``darcy_weisbach_ck`` reproduces the law the reference's empty
+    ``method='DW'`` branch documents (fluidSimulation.py:4640-4645,
+    4692-4693): laminar f = 64/Re = 64*nu/(v*D), so
+    dP = f * (L/D) * (rho v^2 / 2)."""
+    from arterynetwork_tpu.constants import (BLOOD_KINEMATIC_VISCOSITY,
+                                             RHO_BLOOD)
+    from arterynetwork_tpu.flow import darcy_weisbach_ck, dp_from_flow
+
+    r = np.array([0.5e-3, 1.0e-3, 2.5e-3])        # m
+    length = np.array([0.01, 0.025, 0.07])        # m
+    v = np.array([0.08, 0.5, 1.2])                # m/s
+    c, k = darcy_weisbach_ck(r)
+    np.testing.assert_allclose(np.asarray(k), 1.0)
+
+    q = v * np.pi * r ** 2
+    dp = np.asarray(dp_from_flow(q, r, length, np.asarray(c), np.asarray(k)))
+
+    d = 2.0 * r
+    f = 64.0 * BLOOD_KINEMATIC_VISCOSITY / (v * d)           # 64/Re
+    expected = f * (length / d) * (RHO_BLOOD * v ** 2 / 2.0)  # D-W head loss
+    np.testing.assert_allclose(dp, expected, rtol=1e-12)
+
+
+def test_darcy_weisbach_network_round_trip():
+    """A DW network solves through the unchanged stack and every edge
+    obeys Hagen-Poiseuille (the laminar D-W law) at the solution."""
+    from arterynetwork_tpu.constants import (BLOOD_KINEMATIC_VISCOSITY,
+                                             RHO_BLOOD)
+    from arterynetwork_tpu.flow import apply_darcy_weisbach
+
+    net = _tree(max_depth=7, seed=11)
+    net = apply_darcy_weisbach(net)
+    assert np.all(np.asarray(net.k) == 1.0)
+    gt = create_ground_truth(net, option=2, rng=np.random.default_rng(11))
+    assert gt.success
+    system = build_system(net, boundary_pressure=gt.pressure)
+    sol = solve_pressure_newton(system)
+    np.testing.assert_allclose(np.asarray(sol.pressure), gt.pressure,
+                               rtol=1e-8, atol=1e-8)
+
+    p = np.asarray(sol.pressure)
+    q = np.abs(np.asarray(sol.flow))
+    head = np.asarray(system.head)
+    tail = np.asarray(system.tail)
+    dp_node = p[head] - p[tail]
+    mu = RHO_BLOOD * BLOOD_KINEMATIC_VISCOSITY
+    d = 2.0 * np.asarray(net.radius_m())
+    poiseuille = 128.0 * mu * np.asarray(net.length_m()) * q / (np.pi * d ** 4)
+    np.testing.assert_allclose(dp_node, poiseuille, rtol=1e-6, atol=1e-8)
