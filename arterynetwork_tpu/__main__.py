@@ -92,6 +92,9 @@ def _cmd_study(args):
         net = set_network_properties(
             generate_tree(max_depth=args.depth, rng=rng), rng=rng)
         roots = np.nonzero(net.node_depth == 1)[0]
+    if getattr(args, "physics", "hw") == "dw":
+        from .flow import apply_darcy_weisbach
+        net = apply_darcy_weisbach(net)
     partitions = {f"P{i}": {"start_nodes": [int(r)], "boundary_nodes": []}
                   for i, r in enumerate(roots)}
 
@@ -398,6 +401,10 @@ def main(argv=None):
     ps.add_argument("--depth", type=int, default=6,
                     help="synthetic tree depth when no --network-dir")
     ps.add_argument("--seed", type=int, default=0)
+    ps.add_argument("--physics", choices=("hw", "dw"), default="hw",
+                    help="edge pressure-drop law: Hazen-Williams (ADAN "
+                    "c/k) or laminar Darcy-Weisbach (the reference's "
+                    "unfinished method='DW', fluidSimulation.py:4692)")
     ps.add_argument("--network-dir", default=None,
                     help="legacy pickle bundle directory (loadNetwork)")
     ps.add_argument("--version", type=int, default=4)

@@ -133,3 +133,16 @@ def test_cli_pipeline_hysteresis_flags(tmp_path, capsys):
     summary = json.loads(capsys.readouterr().out)
     assert summary["segments"] >= 1
     assert summary["mask_voxels"] > 0
+
+
+def test_cli_study_dw_physics(tmp_path, capsys):
+    """--physics dw runs a study on the laminar Darcy-Weisbach law (the
+    reference's unfinished method='DW' branch, fluidSimulation.py:4692)."""
+    from arterynetwork_tpu.__main__ import main
+    main(["study", "flow_split", "--out", str(tmp_path),
+          "--timesteps", "3", "--depth", "5", "--physics", "dw"])
+    out = json.loads(capsys.readouterr().out)
+    assert out["failed_timesteps"] == []
+    # summarized array: pressures for all 3 timesteps, physical range
+    assert out["node_pressures_mmhg"]["shape"][-1] == 3
+    assert 0.0 < out["node_pressures_mmhg"]["mean"] < 130.0
