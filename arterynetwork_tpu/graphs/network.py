@@ -187,3 +187,124 @@ def make_network(
     )
     net.validate()
     return net
+
+
+def validate_network(net: FlowNetwork) -> Dict[str, object]:
+    """Full network-consistency audit — the reference's ``validateNetwork``
+    slot (fluidSimulation.py:2804-2805), declared as an empty ``pass``
+    there, finished here.
+
+    Checks structural integrity (index ranges, self-loops, the head =
+    lower-depth-endpoint orientation convention), physical plausibility
+    (positive finite radii/lengths, positive c, k in a sane range),
+    entry-node validity, and entry-rooted connectivity; reports (without
+    failing) parallel arcs, cycle count, and the degree census the
+    reference prints after segment processing (skeletonization.py:293-297).
+
+    Returns
+    -------
+    dict with ``ok`` (bool), ``errors`` (list of str — any entry makes the
+    network unusable for a solve), ``warnings`` (list of str), and
+    ``stats`` (degree histogram, terminal/bifurcation/entry counts,
+    independent-cycle count, unknown-pressure count).
+    """
+    errors: list = []
+    warnings: list = []
+    E, N = net.num_edges, net.num_nodes
+
+    def _arr(x, dtype=np.float64):
+        return np.asarray(x, dtype=dtype)
+
+    # --- structural integrity ----------------------------------------
+    heads, tails = _arr(net.heads, np.int64), _arr(net.tails, np.int64)
+    if E and (heads.min() < 0 or heads.max() >= N
+              or tails.min() < 0 or tails.max() >= N):
+        errors.append("edge endpoint index out of range")
+    else:
+        n_self = int(np.sum(heads == tails))
+        if n_self:
+            errors.append(f"{n_self} self-loop edge(s)")
+        hd, td = net.node_depth[heads], net.node_depth[tails]
+        n_flipped = int(np.sum(hd > td))
+        if n_flipped:
+            errors.append(
+                f"{n_flipped} edge(s) violate the head=lower-depth "
+                "orientation convention (fluidSimulation.py:929-932)")
+        pair = np.stack([np.minimum(heads, tails),
+                         np.maximum(heads, tails)], 1)
+        n_parallel = E - len(np.unique(pair, axis=0))
+        if n_parallel:
+            warnings.append(f"{n_parallel} parallel arc(s) between the "
+                            "same node pair")
+
+    # --- physical attributes -----------------------------------------
+    for name, lo in (("radius", 0.0), ("length", 0.0), ("c", 0.0)):
+        v = _arr(getattr(net, name))
+        if v.shape != (E,):
+            errors.append(f"{name} shape {v.shape} != ({E},)")
+        elif not np.all(np.isfinite(v)):
+            errors.append(f"non-finite {name}")
+        elif E and v.min() <= lo:
+            errors.append(f"non-positive {name} (min {v.min():.3g})")
+    kv = _arr(net.k)
+    if kv.shape != (E,):
+        errors.append(f"k shape {kv.shape} != ({E},)")
+    elif not np.all(np.isfinite(kv)):
+        errors.append("non-finite k")
+    elif E and (kv.min() <= 0 or kv.max() > 4.0):
+        errors.append(f"k outside (0, 4] (range [{kv.min():.3g}, "
+                      f"{kv.max():.3g}])")
+
+    # --- entry nodes + connectivity ------------------------------------
+    entry = _arr(net.entry_nodes, np.int64)
+    if entry.size == 0:
+        errors.append("no entry nodes")
+    elif entry.min() < 0 or entry.max() >= N:
+        errors.append("entry node index out of range")
+    elif not errors:
+        # BFS over boolean frontiers; N is small (graph scale, not voxel)
+        adj_ok = True
+        reached = np.zeros(N, dtype=bool)
+        reached[entry] = True
+        frontier = reached.copy()
+        while frontier.any():
+            nxt = np.zeros(N, dtype=bool)
+            sel = frontier[heads]
+            nxt[tails[sel]] = True
+            sel = frontier[tails]
+            nxt[heads[sel]] = True
+            frontier = nxt & ~reached
+            reached |= frontier
+        n_unreached = int(N - reached.sum())
+        if n_unreached:
+            errors.append(f"{n_unreached} node(s) unreachable from the "
+                          "entry nodes")
+
+    # --- simulation-state shape checks ---------------------------------
+    for name, want in (("node_pressure", (N,)), ("edge_velocity", (E,)),
+                       ("edge_flow", (E,))):
+        v = getattr(net, name)
+        if v is not None and np.asarray(v).shape != want:
+            errors.append(f"{name} shape {np.asarray(v).shape} != {want}")
+
+    # --- census ---------------------------------------------------------
+    deg = net.degree
+    hist = np.bincount(deg, minlength=5)
+    n_indep_cycles = E - N + 1 if not errors else None
+    stats = {
+        "num_nodes": N,
+        "num_edges": E,
+        "degree_histogram": {int(d): int(c) for d, c in enumerate(hist)
+                             if c},
+        "n_terminals": int(net.terminal_nodes().shape[0]),
+        "n_bifurcations": int(np.sum(deg >= 3)),
+        "n_entry": int(entry.size),
+        "n_independent_cycles": n_indep_cycles,
+        "n_unknown_pressures": int(net.unknown_nodes().shape[0]),
+    }
+    if n_indep_cycles:
+        warnings.append(f"{n_indep_cycles} independent cycle(s) (merge "
+                        "arcs / Circle of Willis loops)")
+
+    return {"ok": not errors, "errors": errors, "warnings": warnings,
+            "stats": stats}

@@ -147,3 +147,69 @@ def test_load_and_convert_legacy_bundle(tmp_path):
     assert net.num_nodes == 4
     # radii carried from the voxel graph's meanRadius
     assert set(np.round(net.radius, 3).tolist()) == {2.0, 1.5, 1.0}
+
+
+def test_validate_network_clean_and_corrupt():
+    """validate_network finishes the reference's empty validateNetwork
+    slot (fluidSimulation.py:2804): a healthy tree passes; each seeded
+    corruption is caught with a specific error."""
+    import numpy as np
+
+    from arterynetwork_tpu.graphs import (generate_tree,
+                                          set_network_properties,
+                                          validate_network)
+
+    rng = np.random.default_rng(0)
+    net = set_network_properties(generate_tree(max_depth=6, rng=rng),
+                                 rng=rng)
+    rep = validate_network(net)
+    assert rep["ok"] and rep["errors"] == []
+    assert rep["stats"]["n_terminals"] > 0
+    assert rep["stats"]["n_independent_cycles"] == 0
+
+    # merge network: cycles are a warning, not an error
+    net_m = set_network_properties(
+        generate_tree(max_depth=6, allow_merge=True, rng=np.random.default_rng(3)),
+        rng=np.random.default_rng(3))
+    rep_m = validate_network(net_m)
+    assert rep_m["ok"]
+    if rep_m["stats"]["n_independent_cycles"]:
+        assert any("cycle" in w for w in rep_m["warnings"])
+
+    # seeded corruptions
+    bad = net.replace(radius=np.where(np.arange(net.num_edges) == 2,
+                                      -1.0, net.radius))
+    rep = validate_network(bad)
+    assert not rep["ok"] and any("radius" in e for e in rep["errors"])
+
+    bad = net.replace(k=np.full(net.num_edges, 9.0))
+    rep = validate_network(bad)
+    assert not rep["ok"] and any("k outside" in e for e in rep["errors"])
+
+    heads = net.heads.copy()
+    heads[0] = net.tails[0]  # self-loop
+    rep = validate_network(net.replace(heads=heads))
+    assert not rep["ok"] and any("self-loop" in e for e in rep["errors"])
+
+    # orientation violation: swap one edge against the depth convention
+    h, t = net.heads.copy(), net.tails.copy()
+    h[1], t[1] = t[1], h[1]
+    rep = validate_network(net.replace(heads=h, tails=t))
+    assert not rep["ok"] and any("orientation" in e for e in rep["errors"])
+
+    # unreachable node: drop entry to a leaf-only island via bogus entry
+    rep = validate_network(net.replace(entry_nodes=np.asarray(
+        [net.terminal_nodes()[0]], dtype=np.int32)))
+    # tree stays connected from any node, so this still passes; instead
+    # cut an edge to orphan a subtree
+    keep = np.ones(net.num_edges, bool)
+    keep[0] = False
+    cut = net.replace(heads=net.heads[keep], tails=net.tails[keep],
+                      radius=net.radius[keep], length=net.length[keep],
+                      c=net.c[keep], k=net.k[keep])
+    rep = validate_network(cut)
+    assert not rep["ok"] and any("unreachable" in e for e in rep["errors"])
+
+    # no entry nodes at all
+    rep = validate_network(net.replace(entry_nodes=np.zeros(0, np.int32)))
+    assert not rep["ok"] and any("entry" in e for e in rep["errors"])
