@@ -137,8 +137,13 @@ def _cmd_study(args):
                                     partitions=partitions,
                                     out_dir=args.out)
     elif args.name == "gbm5b":
+        import os
+
         from .flow import gbm_test5b
+        from .viz import show_volume_per_partition
         out = gbm_test5b(net, radius_end, excluded_edges=(), **common)
+        show_volume_per_partition(
+            out, path=os.path.join(args.out, "gbm5b_volumes.png"))
     elif args.name == "distribute":
         from .flow import distribute_flow_study
         out = distribute_flow_study(net)

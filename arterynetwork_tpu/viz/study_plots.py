@@ -416,6 +416,41 @@ def plot_terminating_pressures_timesteps(net, terminating_nodes, tp_array,
     return _save(fig, path)
 
 
+def show_volume_per_partition(result: Dict, path: Optional[str] = None,
+                              left_right: bool = True):
+    """Per-compartment volume vs time step (showVolumePerPartition,
+    fluidSimulation.py:3051-3131).
+
+    ``result`` is a ``flow.gbm_test5b`` output (its
+    ``volume_per_partition`` list holds the per-timestep mm^3 volumes).
+    When ``left_right`` and the CoW names are present, the reference's
+    'Left' (LMCA+LPCA) and 'Right' (RMCA+RPCA) aggregate series are
+    added (fluidSimulation.py:3113-3114).  Headless; returns the Figure.
+    """
+    volume_t = result["volume_per_partition"]
+    T = len(volume_t)
+    series = {name: np.array([v[name] for v in volume_t])
+              for name in volume_t[0]}
+    if left_right:
+        for label, parts in (("Left", LEFT_RIGHT[0]),
+                             ("Right", LEFT_RIGHT[1])):
+            if all(p in series for p in parts):
+                series[label] = sum(series[p] for p in parts)
+    fig = plt.figure(figsize=(7, 3))
+    fig.subplots_adjust(left=0.1, right=0.9, top=0.90, bottom=0.15)
+    ax = fig.add_subplot(1, 1, 1)
+    x = list(range(T))
+    for name, y in series.items():
+        ax.plot(x, y, "o-", label=name)
+    ax.set_xlabel("Time step")
+    ax.set_xticks(x)
+    ax.set_xticklabels(["T{}".format(t) for t in x])
+    ax.set_ylabel(r"Volume ($\mathrm{mm}^3$)")
+    ax.legend(bbox_to_anchor=(0, 1.02, 1, 0.2), loc="lower left",
+              mode="expand", borderaxespad=0, ncol=7, prop={"size": 8})
+    return _save(fig, path)
+
+
 def show_result_gbm_test5(store, net, num_timesteps: int = 5,
                           partitions=None, out_dir: Optional[str] = None,
                           version: int = 1):

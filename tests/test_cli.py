@@ -76,6 +76,7 @@ def test_cli_study_gbm5b(tmp_path, capsys):
     assert len(out["pressure_drop_change_per_partition"]) == 3
     # the shrunk compartment (P0) gets a positive adjustment by the end
     assert out["pressure_drop_change_per_partition"][-1]["P0"] > 0
+    assert (tmp_path / "gbm5b_volumes.png").exists()
 
 
 def test_cli_study_distribute(tmp_path, capsys):

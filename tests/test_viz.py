@@ -273,3 +273,31 @@ def test_load_basic_files_bundle(tmp_path):
     assert len(out["segmentList"]) == len(segments)
     assert out["G"].number_of_nodes() == G.number_of_nodes()
     assert "LMCA" in out["partitionInfo"]
+
+
+def test_show_volume_per_partition(tmp_path):
+    """showVolumePerPartition parity (fluidSimulation.py:3051): the
+    per-timestep compartment-volume plot renders from gbm_test5b output;
+    CoW names get the Left/Right aggregate series."""
+    from arterynetwork_tpu.flow import gbm_test5b
+    from arterynetwork_tpu.viz import show_volume_per_partition
+
+    net, _ = _solved_net(seed=4)
+    parts = _partitions(net)
+    radius_end = net.radius.copy()
+    radius_end[:4] *= 0.8
+    res = gbm_test5b(net, radius_end, excluded_edges=(), num_timesteps=3,
+                     partitions=parts)
+    p = str(tmp_path / "vols.png")
+    fig = show_volume_per_partition(res, path=p)
+    assert os.path.getsize(p) > 1000
+
+    # CoW-style names trigger the Left/Right aggregates
+    named = {"LMCA": 1.0, "LPCA": 2.0, "RMCA": 1.5, "RPCA": 2.5}
+    res_cow = {"volume_per_partition": [
+        {k: v * (1.0 + 0.1 * t) for k, v in named.items()}
+        for t in range(3)]}
+    fig = show_volume_per_partition(res_cow, path=str(tmp_path / "v2.png"))
+    ax = fig.axes[0] if fig.axes else None
+    labels = [ln.get_label() for ln in fig.axes[0].get_lines()]
+    assert "Left" in labels and "Right" in labels
