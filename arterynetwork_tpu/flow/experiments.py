@@ -237,3 +237,82 @@ def examine_fluid_result(net: FlowNetwork, solution,
                      if net.tails[e] in set(net.terminal_nodes().tolist())]])
         * 1e6)
     return out
+
+
+def show_flow_info(net: FlowNetwork, solution=None, num: int = 16) -> str:
+    """Per-edge / per-node solution summary (showFlowInfo,
+    fluidSimulation.py:446-479): flow in cm^3/s, radius/length in cm,
+    Hazen-Williams c and k per edge, then pressure in mmHg per node.
+    Returns the formatted text (and prints it, like the reference)."""
+    from ..constants import PASCAL_PER_MMHG
+
+    flow = None if solution is None else np.asarray(solution.flow)
+    pressure = None if solution is None else np.asarray(solution.pressure)
+    cm = net.spacing * 100.0
+    lines = []
+    for e in range(min(num, net.num_edges)):
+        q = -1.0 if flow is None else float(flow[e]) * 1e6
+        lines.append(
+            "Edge {}: flow={:.3f} cm^3/s, radius={:.4f} cm, "
+            "length={:.4f} cm, c={:.4f}, k={:.4f}".format(
+                e, q, float(net.radius[e]) * cm, float(net.length[e]) * cm,
+                float(net.c[e]), float(net.k[e])))
+    lines.append("")
+    for n in range(min(num, net.num_nodes)):
+        p = -1.0 if pressure is None else float(pressure[n]) / PASCAL_PER_MMHG
+        lines.append("Node {}: pressure={:.3f} mmHg".format(n, p))
+    text = "\n".join(lines)
+    print(text)
+    return text
+
+
+def print_terminating_pressure_per_partition(
+        net: FlowNetwork, node_pressure, partitions=None) -> Dict[str, list]:
+    """Sorted terminating pressures (mmHg) per compartment
+    (printTerminatingPressurePerPartition, fluidSimulation.py:1365-1391).
+    Returns ``{name: [mmHg, ...]}`` and prints one line per compartment."""
+    from ..constants import PASCAL_PER_MMHG
+    from .boundary import COW_PARTITIONS, terminating_nodes_of_partition
+
+    if partitions is None:
+        partitions = COW_PARTITIONS
+    pressure = np.asarray(node_pressure)
+    out = {}
+    for name, part in partitions.items():
+        term = terminating_nodes_of_partition(net, part)
+        tp = sorted(round(float(pressure[n]) / PASCAL_PER_MMHG, 2)
+                    for n in term)
+        out[name] = tp
+        print("Terminating pressures in {} are {} mmHg".format(name, tp))
+    return out
+
+
+def load_fluid_result(store, name: str):
+    """Load a saved fluid-simulation result pickle and recover the packed
+    ``velocityPressure`` unknown vector (loadFluidResult/loadFluidResult2,
+    fluidSimulation.py:1547-1620).
+
+    Handles both this framework's result pickles (which carry
+    ``velocityPressure`` directly, flow/studies.py) and the reference's
+    legacy ``{'perturbedYear': {'nodeInfoDict', 'edgeInfoDict'}}`` layout,
+    where the vector is rebuilt from the per-item ``argsIndex`` entries.
+    Returns ``(velocity_pressure, result_dict)``."""
+    result = store.load_pickle(name)
+    if "velocityPressure" in result:
+        return np.asarray(result["velocityPressure"], dtype=float), result
+    year = result.get("perturbedYear") or result.get("solvedYear")
+    if year is None or "nodeInfoDict" not in year:
+        raise ValueError(
+            "unrecognized fluid result layout in {!r}".format(name))
+    node_info, edge_info = year["nodeInfoDict"], year["edgeInfoDict"]
+    n_unknowns = (
+        sum(1 for i in node_info.values() if "argsIndex" in i)
+        + sum(1 for i in edge_info.values() if "argsIndex" in i))
+    x = np.zeros(n_unknowns, dtype=float)
+    for info in node_info.values():
+        if "argsIndex" in info:
+            x[info["argsIndex"]] = info["simulationData"]["pressure"]
+    for info in edge_info.values():
+        if "argsIndex" in info:
+            x[info["argsIndex"]] = info["simulationData"]["velocity"]
+    return x, result

@@ -1,4 +1,6 @@
 from .artifacts import ArtifactStore
 from .nifti import load_volume, save_volume
+from .stitch import get_boundary, merge_volume, stitch_scans
 
-__all__ = ["ArtifactStore", "load_volume", "save_volume"]
+__all__ = ["ArtifactStore", "load_volume", "save_volume",
+           "get_boundary", "merge_volume", "stitch_scans"]

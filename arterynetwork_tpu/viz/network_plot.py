@@ -254,3 +254,62 @@ def plot_skeleton_overlay(segments, node_values=None, value_name="value",
     if path:
         fig.savefig(path, dpi=110, bbox_inches="tight")
     return fig
+
+
+def show_terminating_pressure_and_path_length(net, node_pressure, path=None,
+                                              figsize=(15, 8)):
+    """Terminating pressure vs root path length scatter
+    (showTerminatingPressureAndPathLength, fluidSimulation.py:844-871).
+
+    Path length is measured along the tree from the entry nodes in meters
+    (one BFS over the whole graph instead of an nx.shortest_path per leaf)."""
+    from ..flow.boundary import path_lengths_from
+
+    term = net.terminal_nodes()
+    pls = np.nanmin(np.stack([path_lengths_from(net, int(n))
+                              for n in net.entry_nodes]), axis=0)
+    tp = np.asarray(node_pressure)[term] / PASCAL_PER_MMHG
+    pl = pls[term]
+    fig, ax = plt.subplots(figsize=figsize)
+    ax.plot(pl, tp, "bo")
+    ax.set_xlabel("Path length (m)")
+    ax.set_ylabel("Terminating pressure (mmHg)")
+    if path:
+        fig.savefig(path, dpi=110, bbox_inches="tight")
+    return fig
+
+
+def draw_segments(segment_list, shape=None, path=None, figsize=(12, 9)):
+    """Headless counterpart of the reference's GL segment viewer
+    (drawSegments, skeletonization.py:682-744): renders every centerline
+    chain in 3D, reproducing its greedy coloring (adjacent segments sharing
+    an endpoint voxel get distinct colors where possible).
+
+    Returns ``(fig, color_codes)`` with one color index per segment so the
+    assignment itself is testable without rendering."""
+    from mpl_toolkits.mplot3d import Axes3D  # noqa: F401
+
+    colors = ["r", "g", "b", "c", "m", "y"]
+    node_colors = {}  # endpoint voxel -> list of color codes used there
+    codes = []
+    for seg in segment_list:
+        start, end = tuple(seg[0]), tuple(seg[-1])
+        used = set(node_colors.get(start, ())) | set(node_colors.get(end, ()))
+        available = [c for c in range(len(colors)) if c not in used]
+        chosen = available[0] if available else 0
+        node_colors.setdefault(start, []).append(chosen)
+        node_colors.setdefault(end, []).append(chosen)
+        codes.append(chosen)
+
+    fig = plt.figure(figsize=figsize)
+    ax = fig.add_subplot(projection="3d")
+    for seg, code in zip(segment_list, codes):
+        arr = np.asarray(seg, float)
+        ax.plot(arr[:, 0], arr[:, 1], arr[:, 2], "-",
+                color=colors[code], lw=2)
+    if shape is not None:
+        ax.set_xlim(0, shape[0]); ax.set_ylim(0, shape[1])
+        ax.set_zlim(0, shape[2])
+    if path:
+        fig.savefig(path, dpi=110, bbox_inches="tight")
+    return fig, codes

@@ -111,3 +111,54 @@ def test_examine_fluid_result():
                    for p in out["per_partition"].values())
     np.testing.assert_allclose(total_in, out["total_terminal_flow_cm3s"],
                                rtol=1e-6)
+
+
+def test_show_flow_info_and_tp_print(capsys):
+    from arterynetwork_tpu.flow import build_system
+    from arterynetwork_tpu.flow.experiments import (
+        print_terminating_pressure_per_partition, show_flow_info)
+    from arterynetwork_tpu.flow.solvers import solve_pressure_newton
+
+    net = _net(seed=7, depth=5)
+    gt = create_ground_truth(net, option=2, rng=np.random.default_rng(1))
+    system = build_system(net, boundary_pressure=gt.pressure)
+    sol = solve_pressure_newton(system)
+
+    text = show_flow_info(net, sol, num=4)
+    assert "Edge 0:" in text and "Node 3:" in text
+    q0 = float(np.asarray(sol.flow)[0]) * 1e6
+    assert "flow={:.3f} cm^3/s".format(q0) in text
+
+    roots = np.nonzero(net.node_depth == 1)[0]
+    parts = {f"P{i}": {"start_nodes": [int(r)], "boundary_nodes": []}
+             for i, r in enumerate(roots)}
+    out = print_terminating_pressure_per_partition(
+        net, np.asarray(sol.pressure), parts)
+    captured = capsys.readouterr().out
+    assert set(out) == set(parts)
+    for name, tps in out.items():
+        assert tps == sorted(tps)
+        assert "Terminating pressures in {}".format(name) in captured
+
+
+def test_load_fluid_result_round_trip(tmp_path):
+    from arterynetwork_tpu.flow.experiments import load_fluid_result
+    from arterynetwork_tpu.io import ArtifactStore
+
+    store = ArtifactStore(str(tmp_path))
+    x = np.arange(7, dtype=float)
+    store.save_pickle("res.pkl", {"velocityPressure": x, "flow": x[:3]})
+    got, result = load_fluid_result(store, "res.pkl")
+    np.testing.assert_allclose(got, x)
+    assert "flow" in result
+
+    # Legacy reference layout: rebuild from per-item argsIndex
+    # (fluidSimulation.py:1563-1580).
+    node_info = {0: {}, 1: {"argsIndex": 2,
+                            "simulationData": {"pressure": 9.0}}}
+    edge_info = {0: {"argsIndex": 0, "simulationData": {"velocity": 0.4}},
+                 1: {"argsIndex": 1, "simulationData": {"velocity": 0.7}}}
+    store.save_pickle("legacy.pkl", {"perturbedYear": {
+        "nodeInfoDict": node_info, "edgeInfoDict": edge_info}})
+    got2, _ = load_fluid_result(store, "legacy.pkl")
+    np.testing.assert_allclose(got2, [0.4, 0.7, 9.0])

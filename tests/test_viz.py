@@ -301,3 +301,31 @@ def test_show_volume_per_partition(tmp_path):
     ax = fig.axes[0] if fig.axes else None
     labels = [ln.get_label() for ln in fig.axes[0].get_lines()]
     assert "Left" in labels and "Right" in labels
+
+
+def test_draw_segments_greedy_coloring(tmp_path):
+    from arterynetwork_tpu.viz.network_plot import draw_segments
+
+    # Three branches of a Y sharing voxel (5,5,5): all three must get
+    # distinct colors (skeletonization.py:728-733 greedy rule).
+    j = (5, 5, 5)
+    segs = [
+        [(5, 5, 0), (5, 5, 2), j],
+        [j, (3, 7, 7), (2, 8, 8)],
+        [j, (7, 7, 7), (8, 8, 8)],
+    ]
+    p = str(tmp_path / "segs.png")
+    fig, codes = draw_segments(segs, shape=(10, 10, 10), path=p)
+    assert os.path.exists(p)
+    assert len(set(codes)) == 3
+
+
+def test_show_terminating_pressure_and_path_length(tmp_path):
+    from arterynetwork_tpu.viz.network_plot import (
+        show_terminating_pressure_and_path_length)
+
+    net, gt = _solved_net()
+    p = str(tmp_path / "tp_pl.png")
+    fig = show_terminating_pressure_and_path_length(
+        net, np.asarray(gt.pressure), path=p)
+    assert os.path.exists(p)
