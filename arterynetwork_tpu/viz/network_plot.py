@@ -313,3 +313,45 @@ def draw_segments(segment_list, shape=None, path=None, figsize=(12, 9)):
     if path:
         fig.savefig(path, dpi=110, bbox_inches="tight")
     return fig, codes
+
+
+def pressure_velocity_arrays(segment_list, segment_indices, net,
+                             node_pressure, edge_velocity):
+    """Per-voxel overlay value arrays (generatePressureVelocityArray,
+    partitionCompartmentGUIDetail.py:602-627): for every chosen segment,
+    pressures linearly interpolated from its head node to its tail node
+    along the voxel chain, and the segment's (constant) velocity magnitude
+    — each returned as an (N, 4) array of [x, y, z, value] rows.
+
+    The reference reads head/tail pressures from per-voxel node dicts;
+    here they come from the solved network via ``edge_segment_index`` and
+    ``node_coord`` (orientation is fixed by matching the chain's first
+    voxel to the edge's endpoints)."""
+    if net.edge_segment_index is None or net.node_coord is None:
+        raise ValueError("network lacks edge_segment_index/node_coord")
+    node_pressure = np.asarray(node_pressure, float)
+    edge_velocity = np.asarray(edge_velocity, float)
+    seg_to_edge = {int(s): e
+                   for e, s in enumerate(np.asarray(net.edge_segment_index))}
+    node_of_coord = {tuple(int(c) for c in net.node_coord[n]): n
+                     for n in range(net.num_nodes)}
+    rows_p, rows_v = [], []
+    for si in segment_indices:
+        e = seg_to_edge.get(int(si))
+        if e is None:
+            continue
+        seg = segment_list[int(si)]
+        arr = np.asarray(seg, float)
+        hp = node_pressure[int(net.heads[e])]
+        tp = node_pressure[int(net.tails[e])]
+        first = node_of_coord.get(tuple(int(x) for x in seg[0]))
+        if first == int(net.tails[e]):
+            hp, tp = tp, hp
+        n = len(seg)
+        rows_p.append(np.hstack([arr, np.linspace(hp, tp, n)[:, None]]))
+        rows_v.append(np.hstack(
+            [arr, np.full((n, 1), abs(float(edge_velocity[e])))]))
+    empty = np.zeros((0, 4))
+    pressure_array = np.vstack(rows_p) if rows_p else empty
+    velocity_array = np.vstack(rows_v) if rows_v else empty
+    return pressure_array, velocity_array

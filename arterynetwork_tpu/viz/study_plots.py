@@ -384,12 +384,38 @@ def plot_terminating_pressures_timesteps(net, terminating_nodes, tp_array,
     option 1 — one line per terminating node over timesteps, one panel
     per compartment (plus the compartment means overlaid in the last
     panel); option 2 — box plot of the per-compartment TP distribution
-    per timestep."""
+    per timestep; option 3 — 3D bar histogram of the TP distribution,
+    one z-layer per compartment, one color per timestep (:4210-4248)."""
     from ..flow.boundary import terminating_nodes_of_partition
 
     tp_array = np.asarray(tp_array)
     T = tp_array.shape[1]
     row_of = {int(n): i for i, n in enumerate(terminating_nodes)}
+    if option == 3:
+        from mpl_toolkits.mplot3d import Axes3D  # noqa: F401
+        import matplotlib.pyplot as plt
+
+        colors = ["r", "g", "b", "y", "c", "m"]
+        fig = plt.figure(figsize=(9, 8))
+        ax = fig.add_subplot(projection="3d")
+        for k, (name, part) in enumerate(partitions.items()):
+            nodes = [n for n in terminating_nodes_of_partition(net, part)
+                     if int(n) in row_of]
+            rows = np.asarray([row_of[int(n)] for n in nodes], int)
+            if not len(rows):
+                continue
+            for t in range(T):
+                hist, bins = np.histogram(tp_array[rows, t], bins=10)
+                xs = (bins[:-1] + bins[1:]) / 2
+                color = colors[t % len(colors)]
+                ax.bar(xs, hist, zs=k * 10, zdir="y", color=color,
+                       ec=color, alpha=0.8)
+        ax.set_xlabel("Terminating Pressure (mmHg)")
+        ax.set_ylabel("Compartment")
+        ax.set_zlabel("Count")
+        ax.set_yticks([k * 10 for k in range(len(partitions))])
+        ax.set_yticklabels(list(partitions))
+        return _save(fig, path)
     n_panels = len(partitions) + (1 if option == 1 else 0)
     fig, axes = _new_fig(1, n_panels)
     for k, (name, part) in enumerate(partitions.items()):

@@ -329,3 +329,58 @@ def test_show_terminating_pressure_and_path_length(tmp_path):
     fig = show_terminating_pressure_and_path_length(
         net, np.asarray(gt.pressure), path=p)
     assert os.path.exists(p)
+
+
+def test_plot_terminating_pressures_timesteps_all_options(tmp_path):
+    from arterynetwork_tpu.constants import PASCAL_PER_MMHG
+    from arterynetwork_tpu.viz import plot_terminating_pressures_timesteps
+
+    net, gt = _solved_net(2)
+    parts = _partitions(net)
+    term = [int(n) for n in net.terminal_nodes()]
+    T = 4
+    base = np.asarray(gt.pressure)[term] / PASCAL_PER_MMHG
+    drift = np.linspace(1.0, 0.95, T)
+    tp_array = base[:, None] * drift[None, :]
+    for option in (1, 2, 3):
+        p = str(tmp_path / f"tp2_opt{option}.png")
+        plot_terminating_pressures_timesteps(
+            net, term, tp_array, parts, option=option, path=p)
+        assert os.path.getsize(p) > 1000
+
+
+def test_pressure_velocity_arrays_interpolation_and_orientation():
+    from arterynetwork_tpu.graphs.network import FlowNetwork
+    from arterynetwork_tpu.viz import pressure_velocity_arrays
+
+    # Two chains; segment 1's chain is stored tail-first to exercise the
+    # orientation fix (the reference reads per-voxel node dicts instead,
+    # partitionCompartmentGUIDetail.py:602-627).
+    coords = np.array([[0, 0, 0], [0, 0, 4], [0, 4, 4]], np.int32)
+    net = FlowNetwork(
+        heads=np.array([0, 1], np.int32), tails=np.array([1, 2], np.int32),
+        node_depth=np.array([0, 1, 2], np.int32),
+        radius=np.ones(2), length=np.array([4.0, 4.0]),
+        c=np.ones(2), k=np.full(2, 1.852),
+        entry_nodes=np.array([0], np.int32),
+        node_coord=coords,
+        edge_segment_index=np.array([0, 1], np.int32))
+    segments = [
+        [(0, 0, 0), (0, 0, 1), (0, 0, 2), (0, 0, 3), (0, 0, 4)],
+        [(0, 4, 4), (0, 3, 4), (0, 2, 4), (0, 1, 4), (0, 0, 4)],  # reversed
+    ]
+    pressure = np.array([100.0, 80.0, 60.0])
+    velocity = np.array([0.5, -0.25])
+    parr, varr = pressure_velocity_arrays(segments, [0, 1], net,
+                                          pressure, velocity)
+    assert parr.shape == (10, 4) and varr.shape == (10, 4)
+    # chain 0: head (0,0,0)=100 -> tail (0,0,4)=80, linear
+    np.testing.assert_allclose(parr[:5, 3], np.linspace(100, 80, 5))
+    # chain 1 stored tail-first: starts at node 2 (60) and ends at node 1 (80)
+    np.testing.assert_allclose(parr[5:, 3], np.linspace(60, 80, 5))
+    # velocity constant per segment, magnitude
+    np.testing.assert_allclose(varr[:5, 3], 0.5)
+    np.testing.assert_allclose(varr[5:, 3], 0.25)
+    # coordinates pass through
+    np.testing.assert_array_equal(parr[0, :3], [0, 0, 0])
+    np.testing.assert_array_equal(parr[5, :3], [0, 4, 4])
