@@ -10,7 +10,7 @@ from .physics import (
 )
 from .residual import pack_velocity_pressure, residual_reference, validate_equations
 from .solvers import FlowSolution, solve_poiseuille, solve_pressure_newton
-from .system import FlowSystem, build_system
+from .system import FlowSystem, apply_velocity_pressure, build_system
 from .adan import ADANModel, set_network_ck
 from .network_setup import (
     BRAVA_FIT_PARAMS,
@@ -59,6 +59,7 @@ __all__ = [
     "solve_pressure_newton",
     "FlowSystem",
     "build_system",
+    "apply_velocity_pressure",
     "ADANModel",
     "set_network_ck",
     "BRAVA_FIT_PARAMS",

@@ -148,7 +148,8 @@ def validate_equations(x, system: FlowSystem,
 
 
 def pack_velocity_pressure(system: FlowSystem, p_full, velocity) -> np.ndarray:
-    """Pack (p, v) into the reference unknown layout [v..., p_unknown...]."""
+    """Pack (p, v) into the reference unknown layout [v..., p_unknown...]
+    (getVelocityPressure, fluidSimulation.py:785-812)."""
     p_full = np.asarray(p_full)
     velocity = np.asarray(velocity)
     node_arg = np.asarray(system.node_arg)

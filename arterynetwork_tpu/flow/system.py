@@ -85,6 +85,25 @@ class FlowSystem:
         return p_full[unknown_nodes]
 
 
+def apply_velocity_pressure(net: FlowNetwork, system: FlowSystem,
+                            x) -> FlowNetwork:
+    """Unpack the unknown vector into a network carrying the solution
+    (updateNetworkWithSimulationResult, fluidSimulation.py:1519-1546):
+    node pressures from the unknown slots (fixed nodes keep their
+    prescribed values), per-edge velocity, and flow = v*pi*r^2."""
+    x = np.asarray(jax.device_get(x), dtype=np.float64)
+    E = system.num_edges
+    if x.shape[0] != system.num_unknowns:
+        raise ValueError("solution length != num_unknowns")
+    velocity = x[:E]
+    p_full = np.asarray(
+        jax.device_get(system.full_pressure(jnp.asarray(x[E:]))),
+        dtype=np.float64)
+    flow = velocity * np.pi * np.asarray(system.radius_m) ** 2
+    return net.replace(node_pressure=p_full, edge_velocity=velocity,
+                       edge_flow=flow)
+
+
 def build_system(
     net: FlowNetwork,
     boundary_pressure: Optional[np.ndarray] = None,

@@ -97,6 +97,13 @@ class CorrectionSession:
         """Loop detection (checkCycle, manualCorrectionGUIDetail.py:642)."""
         return nx.cycle_basis(self.graph())
 
+    def report_cycle_info(self) -> int:
+        """Count (and print) the remaining cycles (reportCycleInfo,
+        manualCorrectionGUIDetail.py:246-253)."""
+        n = len(self.check_cycles())
+        print(f"{n} cycles remaining (reportCycleInfo)")
+        return n
+
     # -- event machinery ---------------------------------------------------
     def _apply(self, event: dict):
         for idx in event["removed"]:

@@ -123,3 +123,23 @@ def save_volume(volume, affine, path, astype=None):
         f.write(bytes(hdr))
         f.write(b"\x00" * 4)  # extension flag
         f.write(np.asfortranarray(volume).tobytes(order="F"))
+
+
+def mask_volume(volume, mask):
+    """Zero the volume outside the mask (maskVolume,
+    generateVesselVolume.py:86-105)."""
+    volume = np.asarray(volume)
+    out = volume.copy()
+    out[np.asarray(mask) == 0] = 0
+    return out
+
+
+def refine_brain_mask(brain_mask, cow_box=((150, 350), (150, 350), (0, 120))):
+    """Binarize a brain mask and force-include the Circle-of-Willis box
+    (refineBrainVolumeMask, generateVesselVolume.py:42-63: the
+    reference hard-codes [150:350, 150:350, 0:120] for its scans; the
+    box is a parameter here, clipped to the volume)."""
+    out = (np.asarray(brain_mask) != 0).astype(np.uint8)
+    (x0, x1), (y0, y1), (z0, z1) = cow_box
+    out[x0:x1, y0:y1, z0:z1] = 1
+    return out

@@ -355,3 +355,30 @@ def pressure_velocity_arrays(segment_list, segment_indices, net,
     pressure_array = np.vstack(rows_p) if rows_p else empty
     velocity_array = np.vstack(rows_v) if rows_v else empty
     return pressure_array, velocity_array
+
+
+def pressure_velocity_volumes(shape, pressure_array, velocity_array,
+                              out=None):
+    """Scatter [x, y, z, value] overlay rows into dense volumes
+    (updateFluidVolume, partitionCompartmentGUIDetail.py:549-601: the
+    reference paints per-partition fluid results into two float volumes
+    for its GL overlay; headless here, the volumes are the export).
+
+    Rows from several partitions can be accumulated by passing the
+    previous call's result as ``out``; later rows overwrite earlier ones
+    at shared voxels (junction boundaries), as in the reference."""
+    if out is None:
+        pressure_volume = np.zeros(shape, dtype=np.float32)
+        velocity_volume = np.zeros(shape, dtype=np.float32)
+    else:
+        pressure_volume, velocity_volume = out
+        if pressure_volume.shape != tuple(shape):
+            raise ValueError("out volumes do not match shape")
+    for arr, vol in ((pressure_array, pressure_volume),
+                     (velocity_array, velocity_volume)):
+        arr = np.asarray(arr)
+        if not len(arr):
+            continue
+        idx = arr[:, :3].astype(np.int64)
+        vol[idx[:, 0], idx[:, 1], idx[:, 2]] = arr[:, 3]
+    return pressure_volume, velocity_volume

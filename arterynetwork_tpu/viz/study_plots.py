@@ -664,3 +664,32 @@ def graph_plot_per_partition2(G, segment_list, segment_info, node_info,
         G, segment_list, segment_info, node_info, partition_info,
         spacing_mm=spacing_mm, shared_colorbar=True,
         dataset_name=dataset_name, path=path)
+
+
+def plot_radius_vs_graph_level(net, partitions, path=None):
+    """Radius-vs-graph-level whisker boxes, one panel per compartment
+    (BFSTest, fluidSimulation.py:4474-4535: BFS each partition from its
+    start nodes stopping at boundary nodes, then box-plot the visited
+    edges' mean radius in mm against their graph level).
+
+    ``partitions`` maps name -> {"start_nodes": [...],
+    "boundary_nodes": [...]} (the reference's partitionInfo)."""
+    from .helpers import box_plot_whiskers
+    from ..flow.boundary import bfs_partition
+
+    fig, axes = _new_fig(1, max(len(partitions), 1))
+    radius_mm = np.asarray(net.radius_m()) * 1000.0
+    edge_level = np.asarray(net.edge_depth)
+    for ax, (name, part) in zip(axes.ravel(), partitions.items()):
+        res = bfs_partition(net, part["start_nodes"],
+                            part.get("boundary_nodes", []))
+        edges = np.asarray(res["visited_edges"], dtype=np.int64)
+        if len(edges):
+            levels = edge_level[edges]
+            positions = np.sort(np.unique(levels))
+            values = [radius_mm[edges[levels == p]].tolist()
+                      for p in positions]
+            box_plot_whiskers(values, ax, positions=positions.tolist(),
+                              xlabel="Graph level", ylabel="Radius (mm)")
+        ax.set_title(name)
+    return _save(fig, path)

@@ -188,3 +188,13 @@ def test_replay_advances_index_allocator():
     assert {(i, 0, 0) for i in range(31)} <= flat
     assert {(i, 10, 0) for i in range(31)} <= flat
     assert len(s2.segment_list()) == 2
+
+
+def test_report_cycle_info(capsys):
+    """A square loop reports one cycle; an X reports none
+    (reportCycleInfo, manualCorrectionGUIDetail.py:246-253)."""
+    loop = [[(0, 0, 0), (1, 0, 0), (1, 1, 0), (0, 1, 0), (0, 0, 0)]]
+    s = CorrectionSession(loop)
+    assert s.report_cycle_info() == 1
+    assert "1 cycles remaining" in capsys.readouterr().out
+    assert CorrectionSession(_x_segments()).report_cycle_info() == 0

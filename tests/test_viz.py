@@ -384,3 +384,30 @@ def test_pressure_velocity_arrays_interpolation_and_orientation():
     # coordinates pass through
     np.testing.assert_array_equal(parr[0, :3], [0, 0, 0])
     np.testing.assert_array_equal(parr[5, :3], [0, 4, 4])
+
+
+def test_pressure_velocity_volumes_scatter_and_accumulate():
+    from arterynetwork_tpu.viz import pressure_velocity_volumes
+    from arterynetwork_tpu.viz.network_plot import pressure_velocity_volumes as _same
+
+    parr = np.array([[0, 0, 0, 10.0], [1, 2, 3, 20.0]])
+    varr = np.array([[0, 0, 0, 0.5], [1, 2, 3, 0.25]])
+    pv, vv = pressure_velocity_volumes((4, 4, 4), parr, varr)
+    assert pv[0, 0, 0] == 10.0 and pv[1, 2, 3] == 20.0
+    assert vv[0, 0, 0] == 0.5 and vv[1, 2, 3] == 0.25
+    assert pv.sum() == 30.0
+    # accumulate a second partition; overlapping voxel overwritten
+    pv2, vv2 = pressure_velocity_volumes(
+        (4, 4, 4), np.array([[0, 0, 0, 99.0]]), np.zeros((0, 4)),
+        out=(pv, vv))
+    assert pv2[0, 0, 0] == 99.0 and pv2[1, 2, 3] == 20.0
+
+
+def test_plot_radius_vs_graph_level(tmp_path):
+    from arterynetwork_tpu.viz import plot_radius_vs_graph_level
+
+    net, _ = _solved_net(4)
+    parts = _partitions(net)
+    p = str(tmp_path / "bfstest.png")
+    plot_radius_vs_graph_level(net, parts, path=p)
+    assert os.path.getsize(p) > 1000
