@@ -149,3 +149,39 @@ def load_basic_files(store_or_dir):
                                 if store.exists("resultADANDict.pkl")
                                 else {})
     return result
+
+
+def read_tabb_segment_file(path) -> List[List[tuple]]:
+    """Parse one of the external skeletonizer's ``result_segments_xyz*.txt``
+    files (readSegmentFile, skeletonization.py:188-229) into a segment
+    list.  Format: first line = number of segments; then, per segment,
+    one line with the voxel count followed by that many space-separated
+    coordinate lines.  Coordinates are stored reversed (the reference
+    flips xyz -> zyx on read); kept here so legacy artifacts load into
+    this framework's segment lists unchanged."""
+    segments: List[List[tuple]] = []
+    with open(path) as f:
+        lines = [ln.strip() for ln in f if ln.strip()]
+    pos = 1  # skip the declared segment count; trust the per-segment lengths
+    while pos < len(lines):
+        n = int(lines[pos])
+        pos += 1
+        seg = [tuple(int(x) for x in lines[pos + i].split())[::-1]
+               for i in range(n)]
+        pos += n
+        segments.append(seg)
+    return segments
+
+
+def combine_skeleton_segments(folder) -> List[List[tuple]]:
+    """Concatenate every ``result_segments_xyz*.txt`` in a folder
+    (combineSkeletonSegments, skeletonization.py:165-186) — the migration
+    path for skeletons produced by the reference's external Docker
+    skeletonizer."""
+    import glob
+
+    segments: List[List[tuple]] = []
+    for path in sorted(glob.glob(os.path.join(
+            str(folder), "result_segments_xyz*.txt"))):
+        segments.extend(read_tabb_segment_file(path))
+    return segments

@@ -102,3 +102,20 @@ def test_mask_volume_and_refine_brain_mask():
     assert set(np.unique(refined)) <= {0, 1}
     assert refined[1, 1, 7] == 1 and refined[2, 2, 2] == 1
     assert refined[7, 7, 0] == 0
+
+
+def test_read_tabb_segment_files(tmp_path):
+    """Legacy external-skeletonizer artifacts load with the reference's
+    xyz->zyx flip (readSegmentFile/combineSkeletonSegments,
+    skeletonization.py:165-229)."""
+    from arterynetwork_tpu.io import (combine_skeleton_segments,
+                                      read_tabb_segment_file)
+
+    f1 = tmp_path / "result_segments_xyz_a.txt"
+    f1.write_text("2\n3\n1 2 3\n4 5 6\n7 8 9\n2\n0 0 1\n0 0 2\n")
+    f2 = tmp_path / "result_segments_xyz_b.txt"
+    f2.write_text("1\n2\n9 9 9\n9 9 8\n")
+    segs = read_tabb_segment_file(str(f1))
+    assert segs == [[(3, 2, 1), (6, 5, 4), (9, 8, 7)], [(1, 0, 0), (2, 0, 0)]]
+    allsegs = combine_skeleton_segments(str(tmp_path))
+    assert len(allsegs) == 3 and allsegs[2] == [(9, 9, 9), (8, 9, 9)]
