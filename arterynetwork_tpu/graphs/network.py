@@ -128,6 +128,32 @@ class FlowNetwork:
     def replace(self, **kwargs) -> "FlowNetwork":
         return dataclasses.replace(self, **kwargs)
 
+    def to_networkx(self):
+        """Graph view for networkx interop (the reference's network IS an
+        ``nx.Graph`` + info dicts; ``getNetwork``, fluidSimulation.py:2878,
+        just returns it).  Nodes carry depth (+ pressure when solved),
+        edges carry radius/length/c/k in voxel units (+ flow/velocity
+        when solved) and their edge index."""
+        import networkx as nx
+
+        G = nx.Graph()
+        for n in range(self.num_nodes):
+            attrs = {"depth": int(self.node_depth[n])}
+            if self.node_pressure is not None:
+                attrs["pressure"] = float(self.node_pressure[n])
+            G.add_node(n, **attrs)
+        for e in range(self.num_edges):
+            attrs = {"edge_index": e,
+                     "radius": float(self.radius[e]),
+                     "length": float(self.length[e]),
+                     "c": float(self.c[e]), "k": float(self.k[e])}
+            if self.edge_flow is not None:
+                attrs["flow"] = float(self.edge_flow[e])
+            if self.edge_velocity is not None:
+                attrs["velocity"] = float(self.edge_velocity[e])
+            G.add_edge(int(self.heads[e]), int(self.tails[e]), **attrs)
+        return G
+
     # ------------------------------------------------------------------
     # Validation
     # ------------------------------------------------------------------

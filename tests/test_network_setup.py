@@ -213,3 +213,32 @@ def test_validate_network_clean_and_corrupt():
     # no entry nodes at all
     rep = validate_network(net.replace(entry_nodes=np.zeros(0, np.int32)))
     assert not rep["ok"] and any("entry" in e for e in rep["errors"])
+
+
+def test_to_networkx_graph_view():
+    """FlowNetwork.to_networkx carries the solved state into node/edge
+    attributes (getNetwork, fluidSimulation.py:2878)."""
+    import networkx as nx
+
+    from arterynetwork_tpu.flow import create_ground_truth
+    from arterynetwork_tpu.flow.experiments import apply_flow_to_network
+    from arterynetwork_tpu.graphs import generate_tree, set_network_properties
+
+    rng = np.random.default_rng(11)
+    net = set_network_properties(generate_tree(max_depth=4, rng=rng), rng=rng)
+    gt = create_ground_truth(net, option=2, rng=rng)
+    solved = net.replace(node_pressure=np.asarray(gt.pressure),
+                         edge_flow=np.asarray(gt.flow),
+                         edge_velocity=np.asarray(gt.velocity))
+    G = solved.to_networkx()
+    assert G.number_of_nodes() == net.num_nodes
+    assert G.number_of_edges() == net.num_edges
+    assert nx.is_connected(G)
+    e0 = (int(net.heads[0]), int(net.tails[0]))
+    d = G.edges[e0]
+    assert d["edge_index"] == 0 and d["radius"] == float(net.radius[0])
+    np.testing.assert_allclose(d["flow"], gt.flow[0])
+    assert G.nodes[0]["pressure"] == float(gt.pressure[0])
+    # unsolved network omits the simulation attributes
+    G2 = net.to_networkx()
+    assert "pressure" not in G2.nodes[0] and "flow" not in G2.edges[e0]
