@@ -95,7 +95,17 @@ class ADANModel:
 
 
 def set_network_ck(net: FlowNetwork, model: ADANModel = None) -> FlowNetwork:
-    """Assign c and k per edge from the ADAN model (setNetwork option 2)."""
+    """Re-derive per-edge c and k from the current radii.
+
+    Dispatches on ``net.physics``: Hazen-Williams networks get the ADAN
+    model (setNetwork option 2, the reference's path); Darcy-Weisbach
+    networks re-derive the laminar DW law instead, so a radius update
+    (updateEdgeRadius -> setNetwork, fluidSimulation.py:2989-3005) keeps
+    the friction law the user selected rather than silently reverting
+    to HW."""
+    if getattr(net, "physics", "hw") == "dw":
+        from .network_setup import apply_darcy_weisbach
+        return apply_darcy_weisbach(net)
     if model is None:
         model = ADANModel()
     c = model.c_of_radius(net.radius_m())

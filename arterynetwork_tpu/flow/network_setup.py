@@ -158,7 +158,9 @@ def apply_darcy_weisbach(net: FlowNetwork,
     if rho is not None:
         kwargs["rho"] = rho
     c, k = darcy_weisbach_ck(net.radius_m(), **kwargs)
-    return net.replace(c=np.asarray(c), k=np.asarray(k))
+    # tag the network so set_network_ck (called by every radius-updating
+    # study) re-derives DW instead of reverting to the ADAN HW law
+    return net.replace(c=np.asarray(c), k=np.asarray(k), physics="dw")
 
 
 def load_network(directory: str, version: int = 4, year="BraVa") -> dict:

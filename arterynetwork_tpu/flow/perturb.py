@@ -107,7 +107,14 @@ def interpolate_radii(radius_start, radius_end, num_timesteps: int,
     fluidSimulation.py:2192-2205).
 
     option 1: linear; option 2: tanh-bent (the reference's 'logistic').
-    Returns f64[T, E]."""
+    Returns f64[T, E].  Timestep 0 is always the start radii and the
+    last timestep the end radii, so ``num_timesteps`` must be >= 2
+    (the reference's GBMTest5 contract) — T=1 would silently return
+    only the END radii in the slot labeled baseline."""
+    if num_timesteps < 2:
+        raise ValueError(
+            f"num_timesteps must be >= 2, got {num_timesteps}: timestep "
+            "0 is the start radii and the last timestep the end radii")
     r0 = np.asarray(radius_start, float)
     r1 = np.asarray(radius_end, float)
     T = num_timesteps

@@ -48,6 +48,14 @@ class FlowNetwork:
     node_coord: Optional[np.ndarray] = None      # int32[N,3] voxel coordinates
     edge_segment_index: Optional[np.ndarray] = None  # int32[E] into segmentList
 
+    # Friction law behind (c, k): "hw" = Hazen-Williams from the ADAN
+    # model (the reference's only finished branch), "dw" = laminar
+    # Darcy-Weisbach (the reference's empty method='DW' slot, finished
+    # here — flow/network_setup.apply_darcy_weisbach).  Radius updates
+    # re-derive c/k through set_network_ck, which dispatches on this tag
+    # so a DW network stays DW through studies and perturbations.
+    physics: str = "hw"
+
     # ------------------------------------------------------------------
     # Derived quantities
     # ------------------------------------------------------------------
@@ -133,10 +141,18 @@ class FlowNetwork:
         ``nx.Graph`` + info dicts; ``getNetwork``, fluidSimulation.py:2878,
         just returns it).  Nodes carry depth (+ pressure when solved),
         edges carry radius/length/c/k in voxel units (+ flow/velocity
-        when solved) and their edge index."""
+        when solved) and their edge index.
+
+        Returns ``nx.Graph`` when every node pair carries at most one
+        edge (the reference's shape), else ``nx.MultiGraph`` — parallel
+        arcs are legal in this framework (``validate_network`` only
+        warns about them) and a plain Graph would silently drop all but
+        the last arc of each pair along with its attributes."""
         import networkx as nx
 
-        G = nx.Graph()
+        pairs = {(min(int(h), int(t)), max(int(h), int(t)))
+                 for h, t in zip(self.heads, self.tails)}
+        G = nx.Graph() if len(pairs) == self.num_edges else nx.MultiGraph()
         for n in range(self.num_nodes):
             attrs = {"depth": int(self.node_depth[n])}
             if self.node_pressure is not None:

@@ -56,7 +56,10 @@ def merge_volume(src: np.ndarray, dst: np.ndarray, lower_bound,
     if upper.ndim:
         upper = np.expand_dims(upper, axis)
     index_volume = (idx >= lower) & (idx <= upper)
-    index_volume = np.broadcast_to(index_volume, src.shape)
+    # materialize (broadcast_to returns a read-only view, but the
+    # reference returns a writable array callers may mutate, e.g. to
+    # exclude voxels before a second paste)
+    index_volume = np.broadcast_to(index_volume, src.shape).copy()
     dst[index_volume] = src[index_volume]
     return index_volume
 

@@ -347,6 +347,16 @@ def pressure_velocity_arrays(segment_list, segment_indices, net,
         first = node_of_coord.get(tuple(int(x) for x in seg[0]))
         if first == int(net.tails[e]):
             hp, tp = tp, hp
+        elif first != int(net.heads[e]):
+            # the chain's first voxel coincides with neither endpoint's
+            # node coordinate (legacy-ingested or trimmed segment
+            # lists): orient by which endpoint is nearer instead of
+            # silently assuming head-first
+            hc = np.asarray(net.node_coord[int(net.heads[e])], float)
+            tc = np.asarray(net.node_coord[int(net.tails[e])], float)
+            if (np.linalg.norm(arr[0] - tc)
+                    < np.linalg.norm(arr[0] - hc)):
+                hp, tp = tp, hp
         n = len(seg)
         rows_p.append(np.hstack([arr, np.linspace(hp, tp, n)[:, None]]))
         rows_v.append(np.hstack(

@@ -603,7 +603,10 @@ def _device_alive(timeout_s: float = 240.0) -> bool:
 
 
 def main():
-    if not _device_alive():
+    # two probes before giving up: a single timeout can be transient
+    # (host CPU steal starving the subprocess, a relay blip) and a
+    # false negative forfeits the whole round's capture
+    if not _device_alive() and not _device_alive(timeout_s=300.0):
         print(json.dumps({
             "metric": "region_grow_voxel_sweeps_per_s_512",
             "value": 0,
